@@ -1,0 +1,55 @@
+"""Device mesh construction and sharding helpers.
+
+One logical axis (``data``) is all these model sizes need (SURVEY §2.7: U-Net
+≈54M params at C=1 — no TP/PP); scaling is batch sharding with gradient
+all-reduce over ICI. The helpers are deliberately thin wrappers over
+``jax.sharding`` so trainers stay explicit about placement.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def default_devices():
+    """Devices for the configured platform.
+
+    ``GAN_TPU_PLATFORM`` (e.g. ``cpu``) overrides the JAX default — needed
+    because TPU platform plugins may register regardless of ``JAX_PLATFORMS``,
+    and tests must run on the virtual 8-device CPU backend (SURVEY §4)."""
+    platform = os.environ.get("GAN_TPU_PLATFORM")
+    if platform:
+        return jax.devices(platform)
+    return jax.devices()
+
+
+def make_mesh(num_devices: int = 0, *, devices=None) -> Mesh:
+    """1-D data-parallel mesh. ``num_devices=0`` → all devices of the
+    configured platform."""
+    if devices is None:
+        devices = default_devices()
+    if num_devices and num_devices > 0:
+        assert len(devices) >= num_devices, (
+            f"requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch / dataset-N) axis sharded over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host array with its leading axis sharded over the mesh."""
+    return jax.device_put(batch, batch_sharding(mesh))

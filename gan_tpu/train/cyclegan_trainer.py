@@ -1,0 +1,340 @@
+"""CycleGAN trainer: dual U-Net generators + dual unconditional PatchGANs.
+
+Reference mapping (cycle_gan.py):
+  * __init__ (:28-37) — generators g: X→Y and f: Y→X (instance norm),
+    discriminators for each domain (target=False), 4 Adam optimizers.
+  * train_step (:206-276) — persistent tape over 6 generator + 4
+    discriminator forwards; adversarial, cycle (λ·L1, both directions summed
+    into both generator totals), and identity (λ/2·L1) losses; disc BCE·0.5;
+    4 independent gradient sets. The persistent tape's four backward passes
+    become ONE fused backward over a combined scalar: each loss term is
+    re-expressed with every *other* network's params stop-gradiented
+    (losses.sg_tree) while its own stay live — the primal values are
+    identical (XLA CSEs the duplicated forwards, helped by shared dropout
+    keys per logical application), and ∂combined/∂θ_net ≡ the reference's
+    per-tape gradient for that net. Notably cycle loss feeds BOTH generators
+    in the reference (total_gen_g and total_gen_f each contain the full
+    total_cycle_loss, cycle_gan.py:244-248); the per-view sg partitioning
+    reproduces exactly that double contribution without double-counting
+    within a single view.
+  * fit (:278-358) — epoch = zip(train_X, train_Y) (length = shorter domain,
+    SURVEY §2.10-Q6), independent per-epoch reshuffles, val zip pass with no
+    update, 5-epoch checkpoint + sample from generator_g, 4-line epoch print.
+  * predict (:360-376) — generator_g over the X domain, 2-panel grids.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_tpu.config import CycleGANConfig
+from gan_tpu.data.augment import normalize_batch, single_jitter_batch
+from gan_tpu.losses import (CYCLEGAN_LOSS_KEYS, cycle_loss, discriminator_loss,
+                            empty_losses, generator_adversarial_loss,
+                            identity_loss, sg_tree)
+from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
+from gan_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated_sharding
+from gan_tpu.train import loop
+from gan_tpu.train.checkpoint import CheckpointManager
+from gan_tpu.train.optim import adam
+from gan_tpu.train.pix2pix_trainer import generator_depth
+from gan_tpu.utils.grids import save_image_grid
+
+
+class CycleGANTrainer:
+    def __init__(self, config: CycleGANConfig, *, mesh=None):
+        self.config = config
+        c = config.n_channels
+        self.mesh = mesh if mesh is not None else make_mesh(self._auto_devices(config))
+        depth = generator_depth(config.img_size)
+        self.gen = UNetGenerator(out_channels=c, norm="instance", depth=depth,
+                                 remat=config.img_size >= 512)
+        self.disc = PatchGANDiscriminator(norm="instance", target=False)
+        self.tx = adam(config.learning_rate, config.beta_1, config.beta_2)
+
+        key = jax.random.PRNGKey(config.seed)
+        kg, kf, kx, ky = jax.random.split(key, 4)
+        params = {"gen_g": self.gen.init(kg, c), "gen_f": self.gen.init(kf, c),
+                  "disc_x": self.disc.init(kx, c), "disc_y": self.disc.init(ky, c)}
+        opt_states = {k: self.tx.init(params[k]) for k in params}
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(params, rep)
+        self.opt_states = jax.device_put(opt_states, rep)
+
+        self._epoch_fns: dict = {}
+        self._sample_fn = None
+        self._rem_train = jax.jit(lambda p, o, b, k: self._train_step(p, o, b, k))
+        self._rem_eval = jax.jit(self._eval_step)
+
+    @staticmethod
+    def _auto_devices(config: CycleGANConfig) -> int:
+        from gan_tpu.parallel.mesh import default_devices
+        n = config.num_devices or len(default_devices())
+        while config.batch_size % n:
+            n -= 1
+        return n
+
+    # ------------------------------------------------------------------ math
+    def _losses(self, params, x, y, key):
+        cfg = self.config
+        dt = cfg.compute_dtype
+        lam = float(cfg.lam)
+        # one dropout key per logical generator application (cycle_gan.py:220-234);
+        # shared across the sg views so duplicated forwards CSE to one computation
+        k_fy, k_cx, k_fx, k_cy, k_sx, k_sy = jax.random.split(key, 6)
+
+        def G(p, img, k):
+            return self.gen.apply(p, img, rng=k, compute_dtype=dt)
+
+        def D(p, img):
+            return self.disc.apply(p, img, compute_dtype=dt)
+
+        gp, fp = params["gen_g"], params["gen_f"]
+        dxp, dyp = params["disc_x"], params["disc_y"]
+
+        # --- generator-g view (live: gp) --------------------------------
+        fake_y_g = G(gp, x, k_fy)
+        cycled_x_g = G(sg_tree(fp), fake_y_g, k_cx)
+        fake_x_g = G(sg_tree(fp), y, k_fx)
+        cycled_y_g = G(gp, fake_x_g, k_cy)
+        same_y_g = G(gp, y, k_sy)
+        adv_g = generator_adversarial_loss(D(sg_tree(dyp), fake_y_g))
+        total_cycle_g = cycle_loss(x, cycled_x_g, lam) + cycle_loss(y, cycled_y_g, lam)
+        total_g = adv_g + total_cycle_g + identity_loss(y, same_y_g, lam)
+
+        # --- generator-f view (live: fp) --------------------------------
+        fake_y_f = G(sg_tree(gp), x, k_fy)
+        cycled_x_f = G(fp, fake_y_f, k_cx)
+        fake_x_f = G(fp, y, k_fx)
+        cycled_y_f = G(sg_tree(gp), fake_x_f, k_cy)
+        same_x_f = G(fp, x, k_sx)
+        adv_f = generator_adversarial_loss(D(sg_tree(dxp), fake_x_f))
+        total_cycle_f = cycle_loss(x, cycled_x_f, lam) + cycle_loss(y, cycled_y_f, lam)
+        total_f = adv_f + total_cycle_f + identity_loss(x, same_x_f, lam)
+
+        # --- discriminator views (live: dxp / dyp; fakes stopped) -------
+        disc_x = discriminator_loss(D(dxp, x), D(dxp, jax.lax.stop_gradient(fake_x_f)), 0.5)
+        disc_y = discriminator_loss(D(dyp, y), D(dyp, jax.lax.stop_gradient(fake_y_g)), 0.5)
+
+        combined = total_g + total_f + disc_x + disc_y
+        losses = jnp.stack([adv_g, adv_f, total_cycle_g, total_g, total_f,
+                            disc_x, disc_y])
+        return combined, losses
+
+    def _train_step(self, params, opt_states, batch, key, *, axis_name=None):
+        x, y = batch
+        grads, losses = jax.grad(self._losses, has_aux=True)(params, x, y, key)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        new_params, new_os = {}, {}
+        for name in ("gen_g", "gen_f", "disc_x", "disc_y"):
+            up, st = self.tx.update(grads[name], opt_states[name], params[name])
+            new_params[name] = jax.tree_util.tree_map(lambda p, u: p + u,
+                                                      params[name], up)
+            new_os[name] = st
+        return new_params, new_os, losses
+
+    def _eval_step(self, params, opt_states, batch, key):
+        x, y = batch
+        _, losses = self._losses(params, x, y, key)
+        return losses
+
+    # --------------------------------------------------------------- extract
+    def _extract_train(self, caches, idxs, key):
+        kx, ky = jax.random.split(key)
+        cfg = self.config
+        x = single_jitter_batch(jnp.take(caches["x"], idxs["x"], axis=0), kx,
+                                img_size=cfg.img_size, dtype=cfg.compute_dtype)
+        y = single_jitter_batch(jnp.take(caches["y"], idxs["y"], axis=0), ky,
+                                img_size=cfg.img_size, dtype=cfg.compute_dtype)
+        return x, y
+
+    def _extract_eval(self, caches, idxs, key):
+        dt = self.config.compute_dtype
+        return (normalize_batch(jnp.take(caches["x"], idxs["x"], axis=0), dt),
+                normalize_batch(jnp.take(caches["y"], idxs["y"], axis=0), dt))
+
+    def _get_epoch_fn(self, training: bool):
+        if training not in self._epoch_fns:
+            axis = DATA_AXIS if self.mesh.size > 1 else None
+            if training:
+                step = lambda p, o, b, k: self._train_step(p, o, b, k, axis_name=axis)
+                fn = loop.make_cached_epoch(self.mesh, self._extract_train, step,
+                                            training=True)
+            else:
+                fn = loop.make_cached_epoch(self.mesh, self._extract_eval,
+                                            self._eval_step, training=False)
+            self._epoch_fns[training] = fn
+        return self._epoch_fns[training]
+
+    # ----------------------------------------------------------------- epoch
+    def _run_epoch(self, caches_dev, nx: int, ny: int, epoch_key, *,
+                   training: bool, rng: np.random.Generator):
+        """One zip(X, Y) pass (cycle_gan.py:297): length = the shorter domain,
+        independent per-epoch shuffles (reshuffle_each_iteration=True)."""
+        cfg = self.config
+        b = cfg.batch_size
+        ndev = self.mesh.size
+        if min(nx, ny) == 0:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+
+        if ndev == 1:
+            perm_x, perm_y = rng.permutation(nx), rng.permutation(ny)
+            n_steps = min(nx // b, ny // b)
+            total_ref = min(-(-nx // b), -(-ny // b))  # zip of ceil-batched datasets
+            all_losses = []
+            if n_steps:
+                perms = {"x": perm_x[: n_steps * b].reshape(n_steps, b).astype(np.int32),
+                         "y": perm_y[: n_steps * b].reshape(n_steps, b).astype(np.int32)}
+                fn = self._get_epoch_fn(training)
+                if training:
+                    self.params, self.opt_states, losses = fn(
+                        self.params, self.opt_states, caches_dev, perms, epoch_key)
+                else:
+                    _, _, losses = fn(self.params, self.opt_states, caches_dev,
+                                      perms, epoch_key)
+                all_losses.append(np.asarray(losses))
+            if total_ref > n_steps:  # the shorter domain's partial final batch
+                bx = min(b, nx - n_steps * b)
+                by = min(b, ny - n_steps * b)
+                idxs = {"x": jnp.asarray(perm_x[n_steps * b: n_steps * b + bx]),
+                        "y": jnp.asarray(perm_y[n_steps * b: n_steps * b + by])}
+                k = jax.random.fold_in(epoch_key, n_steps)
+                k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
+                batch = (self._extract_train if training else self._extract_eval)(
+                    caches_dev, idxs, k_data)
+                if training:
+                    self.params, self.opt_states, losses = self._rem_train(
+                        self.params, self.opt_states, batch, k_step)
+                else:
+                    losses = self._rem_eval(self.params, self.opt_states, batch, k_step)
+                all_losses.append(np.asarray(losses)[None])
+            if not all_losses:
+                return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+            return np.concatenate(all_losses, axis=0)
+
+        # DP mode: full batches only, per-device cycling perms
+        n_steps, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
+        if n_steps == 0:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        perms = {"x": loop.local_perm(nx, ndev=ndev, n_steps=n_steps,
+                                      per_dev_batch=b_loc, rng=rng, fixed_order=False),
+                 "y": loop.local_perm(ny, ndev=ndev, n_steps=n_steps,
+                                      per_dev_batch=b_loc, rng=rng, fixed_order=False)}
+        fn = self._get_epoch_fn(training)
+        if training:
+            self.params, self.opt_states, losses = fn(
+                self.params, self.opt_states, caches_dev, perms, epoch_key)
+        else:
+            _, _, losses = fn(self.params, self.opt_states, caches_dev, perms,
+                              epoch_key)
+        return np.asarray(losses)
+
+    # ---------------------------------------------------------------- public
+    def fit(self, train_x: np.ndarray, train_y: np.ndarray, val_x: np.ndarray,
+            val_y: np.ndarray, test_cache: np.ndarray, output_path: str,
+            checkpoint_manager: Optional[CheckpointManager] = None,
+            start_epoch: int = 0):
+        """Epoch loop — ref cycle_gan.py:278-358. Caches from
+        gan_tpu.data.pipeline.build_cyclegan_cache (train: (N,S+30,S+30,C),
+        val/test: (N,S,S,C))."""
+        cfg = self.config
+        print("\nTraining...\n", flush=True)
+
+        example = np.asarray(normalize_batch(test_cache[:1].astype(np.float32)))
+
+        caches_train = {"x": loop.put_cache(train_x, self.mesh),
+                        "y": loop.put_cache(train_y, self.mesh)}
+        caches_val = {"x": loop.put_cache(val_x, self.mesh),
+                      "y": loop.put_cache(val_y, self.mesh)}
+
+        start = time.time()
+        rng = np.random.default_rng(cfg.seed)
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
+        train_cost = empty_losses(CYCLEGAN_LOSS_KEYS)
+        val_cost = empty_losses(CYCLEGAN_LOSS_KEYS)
+
+        from gan_tpu.utils.profiling import Throughput, profile_dir_from_env, trace
+        perf = Throughput(self.mesh.size)
+        report_perf = os.environ.get("GAN_TPU_PERF") == "1"
+
+        for epoch in range(start_epoch, cfg.epochs):
+            ek = jax.random.fold_in(base_key, epoch)
+            perf.start()
+            with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
+                tr = self._run_epoch(caches_train, len(train_x), len(train_y),
+                                     jax.random.fold_in(ek, 0), training=True,
+                                     rng=rng)
+            jax.block_until_ready(self.params)
+            ips = perf.stop(tr.shape[0] * cfg.batch_size)
+            if report_perf:
+                print(f"[perf] epoch {epoch + 1}: {ips:.1f} image-pairs/sec "
+                      f"({ips / self.mesh.size:.1f}/chip)", flush=True)
+            print("." * (tr.shape[0] // 100), end="", flush=True)
+            va = self._run_epoch(caches_val, len(val_x), len(val_y),
+                                 jax.random.fold_in(ek, 1), training=False, rng=rng)
+            for i, k in enumerate(CYCLEGAN_LOSS_KEYS):
+                train_cost[k].append(float(tr[:, i].mean()) if len(tr) else float("nan"))
+                val_cost[k].append(float(va[:, i].mean()) if len(va) else float("nan"))
+
+            test_img_path = os.path.join(output_path, "test_images")
+            os.makedirs(test_img_path, exist_ok=True)
+            if ((epoch + 1) % 5 == 0) and ((epoch + 1) != cfg.epochs):
+                if checkpoint_manager is not None:
+                    checkpoint_manager.save(epoch + 1, self.state())
+                self.generate_image(example,
+                                    os.path.join(test_img_path, f"epoch_{epoch + 1}.png"))
+            if (epoch + 1) == cfg.epochs and checkpoint_manager is not None:
+                checkpoint_manager.save(epoch + 1, self.state())
+
+            print(f"\nCumulative training duration at end of epoch {epoch + 1}: "
+                  f"{(time.time() - start) / 60:.2f} min")
+            print(f"Train X->Y generator loss: {round(train_cost['Total X->Y Generator Loss'][-1], 2)}, "
+                  f"train discriminator X loss: {round(train_cost['Discriminator X Loss'][-1], 2)}")
+            print(f"Train Y->X generator loss: {round(train_cost['Total Y->X Generator Loss'][-1], 2)}, "
+                  f"train discriminator Y loss: {round(train_cost['Discriminator Y Loss'][-1], 2)}")
+            print(f"Val X->Y generator loss: {round(val_cost['Total X->Y Generator Loss'][-1], 2)}, "
+                  f"val discriminator X loss: {round(val_cost['Discriminator X Loss'][-1], 2)}")
+            print(f"Val Y->X generator loss: {round(val_cost['Total Y->X Generator Loss'][-1], 2)}, "
+                  f"val discriminator Y loss: {round(val_cost['Discriminator Y Loss'][-1], 2)}\n")
+
+        return train_cost, val_cost
+
+    def generate(self, input_batch: np.ndarray) -> np.ndarray:
+        """generator_g(x) with training-mode semantics (cycle_gan.py:186)."""
+        if self._sample_fn is None:
+            self._sample_fn = jax.jit(lambda p, x, k: self.gen.apply(
+                p, x, rng=k, compute_dtype=self.config.compute_dtype))
+        key = jax.random.PRNGKey(self.config.seed + 2)
+        out = self._sample_fn(self.params["gen_g"],
+                              jnp.asarray(input_batch, self.config.compute_dtype), key)
+        return np.asarray(out, np.float32)
+
+    def generate_image(self, input_image: np.ndarray, path_filename: str) -> None:
+        """2-panel Input / Predicted grid (cycle_gan.py:179-204)."""
+        pred = self.generate(input_image)
+        save_image_grid([input_image[0], pred[0]], path_filename,
+                        channels=self.config.channels)
+
+    def predict(self, predict_cache: np.ndarray, output_path: str) -> None:
+        """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376)."""
+        plot_path = os.path.join(output_path, "prediction_images")
+        os.makedirs(plot_path, exist_ok=True)
+        batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
+        for i in range(batch.shape[0]):
+            self.generate_image(batch[i:i + 1], os.path.join(plot_path, f"img{i}.png"))
+
+    # ------------------------------------------------------------ state mgmt
+    def state(self) -> dict:
+        return {"params": self.params, "opt_states": self.opt_states}
+
+    def load_state(self, state: dict) -> None:
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(state["params"], rep)
+        self.opt_states = jax.device_put(state["opt_states"], rep)

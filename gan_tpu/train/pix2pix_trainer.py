@@ -1,0 +1,289 @@
+"""Pix2Pix trainer: U-Net generator + conditional 70×70 PatchGAN.
+
+Reference mapping (pix2pix.py):
+  * __init__ (:26-32) — 1 generator (batch norm, fixed shape), 1 conditional
+    discriminator, 2 Adam optimizers.
+  * train_step (:190-218) — G(x); D(x,y); D(x,G(x)); gen adversarial +
+    λ·secondary loss; disc BCE·0.5; two independent gradient sets. Here the
+    two GradientTapes become ONE fused backward over a combined scalar with
+    stop-gradient partitioning (losses.sg_tree): ``gen_total`` sees sg'd disc
+    params, ``disc_loss`` sees sg'd fake images, so ∂combined/∂θ_G ≡
+    ∂gen_total/∂θ_G and ∂combined/∂θ_D ≡ ∂disc_loss/∂θ_D exactly — same
+    gradients as the reference, half the backward work, one XLA program.
+  * fit (:248-323) — epoch loop; per-epoch mean of per-mini-batch losses;
+    val pass through the step with no update (dropout + batch-stats stay on:
+    SURVEY §2.10-Q2); checkpoint + sample image every 5 epochs; epoch prints.
+    The per-step ``.numpy()`` host syncs are replaced by a device-side
+    lax.scan per epoch (train/loop.py).
+  * predict (:325-339) — per-image 3-panel grids.
+
+Training-mode semantics everywhere (model called with training=True even at
+val/test — SURVEY §2.10-Q2/Q3): dropout active, batch-norm batch stats.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_tpu.config import Pix2PixConfig
+from gan_tpu.data.augment import JITTER_PAD, normalize_batch, paired_jitter_batch
+from gan_tpu.losses import (PIX2PIX_LOSS_KEYS, discriminator_loss, empty_losses,
+                            pix2pix_generator_loss, sg_tree)
+from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
+from gan_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated_sharding
+from gan_tpu.train import loop
+from gan_tpu.train.checkpoint import CheckpointManager
+from gan_tpu.train.optim import adam
+from gan_tpu.utils.grids import save_image_grid
+
+
+def generator_depth(img_size: int) -> int:
+    """The reference always builds 8 down blocks (base_gan.py:179-188); cap
+    by log2(img_size) so tiny test images still bottleneck at 1×1."""
+    return min(8, int(math.log2(img_size)))
+
+
+class Pix2PixTrainer:
+    def __init__(self, config: Pix2PixConfig, *, mesh=None):
+        self.config = config
+        c = config.n_channels
+        self.mesh = mesh if mesh is not None else make_mesh(
+            self._auto_devices(config))
+        self.gen = UNetGenerator(out_channels=c, norm="batch",
+                                 depth=generator_depth(config.img_size),
+                                 remat=config.img_size >= 512)
+        self.disc = PatchGANDiscriminator(norm="batch", target=True)
+        self.tx_gen = adam(config.learning_rate, config.beta_1, config.beta_2)
+        self.tx_disc = adam(config.learning_rate, config.beta_1, config.beta_2)
+
+        key = jax.random.PRNGKey(config.seed)
+        k_gen, k_disc = jax.random.split(key)
+        params = {"gen": self.gen.init(k_gen, c),
+                  "disc": self.disc.init(k_disc, c)}
+        opt_states = {"gen": self.tx_gen.init(params["gen"]),
+                      "disc": self.tx_disc.init(params["disc"])}
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(params, rep)
+        self.opt_states = jax.device_put(opt_states, rep)
+
+        self._bn_axis = DATA_AXIS if (config.bn_cross_replica == "true"
+                                      and self.mesh.size > 1) else None
+        self._epoch_fns: dict = {}
+        self._sample_fn = None
+        # persistent jit wrappers so the per-epoch remainder batch compiles once
+        self._rem_train = jax.jit(lambda p, o, b, k: self._train_step(p, o, b, k))
+        self._rem_eval = jax.jit(self._eval_step)
+
+    @staticmethod
+    def _auto_devices(config: Pix2PixConfig) -> int:
+        from gan_tpu.parallel.mesh import default_devices
+        n = config.num_devices or len(default_devices())
+        while config.batch_size % n:
+            n -= 1
+        return n
+
+    # ------------------------------------------------------------------ math
+    def _losses(self, params, x, y, drop_rng):
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        fake = self.gen.apply(params["gen"], x, rng=drop_rng,
+                              compute_dtype=dtype, bn_axis_name=self._bn_axis)
+        # generator view: disc params stop-gradiented
+        d_gen_logits = self.disc.apply(sg_tree(params["disc"]), x, fake,
+                                       compute_dtype=dtype, bn_axis_name=self._bn_axis)
+        gen_total, gen_gan, gen_sec = pix2pix_generator_loss(
+            d_gen_logits, fake, y, lam=float(cfg.lam), kind=cfg.generator_loss)
+        # discriminator view: fake stop-gradiented
+        d_real_logits = self.disc.apply(params["disc"], x, y,
+                                        compute_dtype=dtype, bn_axis_name=self._bn_axis)
+        d_fake_logits = self.disc.apply(params["disc"], x, jax.lax.stop_gradient(fake),
+                                        compute_dtype=dtype, bn_axis_name=self._bn_axis)
+        disc = discriminator_loss(d_real_logits, d_fake_logits, 0.5)
+        combined = gen_total + disc
+        return combined, jnp.stack([gen_total, gen_gan, gen_sec, disc])
+
+    def _train_step(self, params, opt_states, batch, key, *, axis_name=None):
+        x, y = batch
+        grads, losses = jax.grad(self._losses, has_aux=True)(params, x, y, key)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        up_g, os_g = self.tx_gen.update(grads["gen"], opt_states["gen"], params["gen"])
+        up_d, os_d = self.tx_disc.update(grads["disc"], opt_states["disc"], params["disc"])
+        params = {"gen": jax.tree_util.tree_map(lambda p, u: p + u, params["gen"], up_g),
+                  "disc": jax.tree_util.tree_map(lambda p, u: p + u, params["disc"], up_d)}
+        return params, {"gen": os_g, "disc": os_d}, losses
+
+    def _eval_step(self, params, opt_states, batch, key):
+        x, y = batch
+        _, losses = self._losses(params, x, y, key)
+        return losses
+
+    # --------------------------------------------------------------- extract
+    def _extract_train(self, cache, idxs, key):
+        pair = jnp.take(cache, idxs, axis=0)
+        return paired_jitter_batch(pair, key, img_size=self.config.img_size,
+                                   dtype=self.config.compute_dtype)
+
+    def _extract_eval(self, cache, idxs, key):
+        pair = normalize_batch(jnp.take(cache, idxs, axis=0),
+                               self.config.compute_dtype)
+        return pair[:, 0], pair[:, 1]
+
+    # ----------------------------------------------------------------- epoch
+    def _get_epoch_fn(self, training: bool):
+        if training not in self._epoch_fns:
+            axis = DATA_AXIS if self.mesh.size > 1 else None
+            if training:
+                step = lambda p, o, b, k: self._train_step(p, o, b, k, axis_name=axis)
+                fn = loop.make_cached_epoch(self.mesh, self._extract_train, step,
+                                            training=True)
+            else:
+                fn = loop.make_cached_epoch(self.mesh, self._extract_eval,
+                                            self._eval_step, training=False)
+            self._epoch_fns[training] = fn
+        return self._epoch_fns[training]
+
+    def _run_epoch(self, cache_dev, cache_len: int, epoch_key, *, training: bool,
+                   fixed_order: bool, rng: np.random.Generator):
+        """One dataset pass. Returns (n_steps+maybe 1, 4) per-step losses."""
+        ndev = self.mesh.size
+        n_steps, b_loc, rem = loop.epoch_plan(cache_len, self.config.batch_size, ndev)
+        all_losses = []
+        if n_steps > 0:
+            perm = loop.local_perm(cache_len, ndev=ndev, n_steps=n_steps,
+                                   per_dev_batch=b_loc, rng=rng,
+                                   fixed_order=fixed_order)
+            fn = self._get_epoch_fn(training)
+            if training:
+                self.params, self.opt_states, losses = fn(
+                    self.params, self.opt_states, cache_dev, perm, epoch_key)
+            else:
+                _, _, losses = fn(self.params, self.opt_states, cache_dev, perm,
+                                  epoch_key)
+            all_losses.append(np.asarray(losses))
+        if rem:
+            # final partial batch (tf.data batches without dropping — pix2pix.py:156)
+            idxs = jnp.arange(cache_len - rem, cache_len)
+            key = jax.random.fold_in(epoch_key, n_steps)
+            k_data, k_step = jax.random.split(jax.random.fold_in(key, 0))
+            batch = (self._extract_train if training else self._extract_eval)(
+                cache_dev, idxs, k_data)
+            if training:
+                self.params, self.opt_states, losses = self._rem_train(
+                    self.params, self.opt_states, batch, k_step)
+            else:
+                losses = self._rem_eval(self.params, self.opt_states, batch, k_step)
+            all_losses.append(np.asarray(losses)[None])
+        if not all_losses:
+            return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
+        return np.concatenate(all_losses, axis=0)
+
+    # ---------------------------------------------------------------- public
+    def fit(self, train_cache: np.ndarray, val_cache: np.ndarray,
+            test_cache: np.ndarray, output_path: str,
+            checkpoint_manager: Optional[CheckpointManager] = None,
+            start_epoch: int = 0):
+        """Epoch loop — ref pix2pix.py:248-323. Caches are the uint8 arrays
+        from gan_tpu.data.pipeline (train: (N,2,S+30,S+30,C); val/test:
+        (N,2,S,S,C)). Returns (train_cost_functions, val_cost_functions)."""
+        cfg = self.config
+        print("\nTraining...\n", flush=True)
+
+        example = normalize_batch(test_cache[:1].astype(np.float32))
+        example_input, example_target = np.asarray(example[:, 0]), np.asarray(example[:, 1])
+
+        train_dev = loop.put_cache(train_cache, self.mesh)
+        val_dev = loop.put_cache(val_cache, self.mesh)
+        n_train, n_val = train_cache.shape[0], val_cache.shape[0]
+
+        start = time.time()
+        rng = np.random.default_rng(cfg.seed)
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
+        train_cost_functions = empty_losses(PIX2PIX_LOSS_KEYS)
+        val_cost_functions = empty_losses(PIX2PIX_LOSS_KEYS)
+
+        from gan_tpu.utils.profiling import Throughput, profile_dir_from_env, trace
+        perf = Throughput(self.mesh.size)
+        report_perf = os.environ.get("GAN_TPU_PERF") == "1"
+
+        for epoch in range(start_epoch, cfg.epochs):
+            ek = jax.random.fold_in(base_key, epoch)
+            perf.start()
+            with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
+                tr = self._run_epoch(train_dev, n_train,
+                                     jax.random.fold_in(ek, 0),
+                                     training=True, fixed_order=True, rng=rng)
+            jax.block_until_ready(self.params)
+            ips = perf.stop(n_train)
+            if report_perf:
+                print(f"[perf] epoch {epoch + 1}: {ips:.1f} images/sec "
+                      f"({ips / self.mesh.size:.1f}/chip)", flush=True)
+            print("." * (tr.shape[0] // 100), end="", flush=True)
+            va = self._run_epoch(val_dev, n_val, jax.random.fold_in(ek, 1),
+                                 training=False, fixed_order=True, rng=rng)
+            for i, k in enumerate(PIX2PIX_LOSS_KEYS):
+                train_cost_functions[k].append(float(tr[:, i].mean()) if len(tr) else float("nan"))
+                val_cost_functions[k].append(float(va[:, i].mean()) if len(va) else float("nan"))
+
+            test_img_path = os.path.join(output_path, "test_images")
+            os.makedirs(test_img_path, exist_ok=True)
+            if ((epoch + 1) % 5 == 0) and ((epoch + 1) != cfg.epochs):
+                if checkpoint_manager is not None:
+                    checkpoint_manager.save(epoch + 1, self.state())
+                self.generate_image(example_input, example_target,
+                                    os.path.join(test_img_path, f"epoch_{epoch + 1}.png"))
+            if (epoch + 1) == cfg.epochs and checkpoint_manager is not None:
+                checkpoint_manager.save(epoch + 1, self.state())
+
+            print(f"\nCumulative training duration at end of epoch {epoch + 1}: "
+                  f"{(time.time() - start) / 60:.2f} min")
+            print(f"Train generator loss: {round(train_cost_functions['Generator Total Loss'][-1], 2)}, "
+                  f"train discriminator loss: {round(train_cost_functions['Discriminator Loss'][-1], 2)}")
+            print(f"Val generator loss: {round(val_cost_functions['Generator Total Loss'][-1], 2)}, "
+                  f"val discriminator loss: {round(val_cost_functions['Discriminator Loss'][-1], 2)}\n")
+
+        return train_cost_functions, val_cost_functions
+
+    def generate_image(self, input_image: np.ndarray, target: np.ndarray,
+                       path_filename: str) -> None:
+        """3-panel Input / Ground Truth / Predicted grid (pix2pix.py:220-246).
+        Forward runs training-mode (dropout on — the pix2pix paper's test-time
+        convention, SURVEY §2.10-Q3)."""
+        pred = self.generate(input_image)
+        save_image_grid([input_image[0], target[0], pred[0]], path_filename,
+                        channels=self.config.channels)
+
+    def generate(self, input_batch: np.ndarray) -> np.ndarray:
+        """G(x) with training-mode semantics; returns fp32 in [-1, 1]."""
+        if self._sample_fn is None:
+            self._sample_fn = jax.jit(lambda p, x, k: self.gen.apply(
+                p, x, rng=k, compute_dtype=self.config.compute_dtype))
+        key = jax.random.PRNGKey(self.config.seed + 2)
+        out = self._sample_fn(self.params["gen"],
+                              jnp.asarray(input_batch, self.config.compute_dtype), key)
+        return np.asarray(out, np.float32)
+
+    def predict(self, predict_cache: np.ndarray, output_path: str) -> None:
+        """prediction_images/img{N}.png per image (pix2pix.py:325-339)."""
+        plot_path = os.path.join(output_path, "prediction_images")
+        os.makedirs(plot_path, exist_ok=True)
+        batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
+        for i in range(batch.shape[0]):
+            self.generate_image(batch[i:i + 1, 0], batch[i:i + 1, 1],
+                                os.path.join(plot_path, f"img{i}.png"))
+
+    # ------------------------------------------------------------ state mgmt
+    def state(self) -> dict:
+        return {"params": self.params, "opt_states": self.opt_states}
+
+    def load_state(self, state: dict) -> None:
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(state["params"], rep)
+        self.opt_states = jax.device_put(state["opt_states"], rep)

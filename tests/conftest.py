@@ -12,6 +12,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("GAN_TPU_ALLOW_ANY_SIZE", "1")
+# All framework mesh/device selection goes through default_devices(), which
+# honors this: tests always run on the virtual CPU backend even when a TPU
+# plugin (axon) registers itself regardless of JAX_PLATFORMS.
+os.environ["GAN_TPU_PLATFORM"] = "cpu"
 
 import jax  # noqa: E402
 
