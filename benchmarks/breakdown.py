@@ -2,8 +2,12 @@
 """Per-component timing breakdown on the current backend.
 
 Times each piece of the Pix2Pix step (augment, G fwd, D fwd, fused loss fwd,
-full train step) so kernel work targets the real bottleneck rather than a
-guess. Run on the TPU: `python benchmarks/breakdown.py [batch] [img_size]`.
+full train step) so kernel work targets the real bottleneck. Each piece is
+wrapped in a K-iteration ``lax.scan`` inside one jit and the result is
+fetched, so the measurement is true device time — per-dispatch timing is
+meaningless over remote-tunnel backends (axon).
+
+Run: `python benchmarks/breakdown.py [batch] [img_size] [K]`.
 """
 
 from __future__ import annotations
@@ -25,19 +29,30 @@ from gan_tpu.parallel.mesh import make_mesh
 from gan_tpu.train.pix2pix_trainer import Pix2PixTrainer
 
 
-def timeit(fn, *args, reps=20):
-    out = fn(*args)
+def scan_time(fn, init_carry, k: int):
+    """Device seconds per iteration of carry = fn(carry, i), via one jitted
+    k-step scan (compile excluded; result fetched)."""
+
+    @jax.jit
+    def run(carry):
+        def body(c, i):
+            return fn(c, i), ()
+        c, _ = jax.lax.scan(body, carry, jnp.arange(k))
+        return jax.tree_util.tree_map(
+            lambda l: jnp.sum(l.astype(jnp.float32)) if hasattr(l, "astype") else l, c)
+
+    out = run(init_carry)          # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    out = run(init_carry)
+    jax.block_until_ready(jax.device_get(out))
+    return (time.perf_counter() - t0) / k
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     img = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     cfg = Pix2PixConfig(data="", output="", img_size=img, batch_size=batch,
                         train=True, epochs=1, dtype="bf16", num_devices=1)
     cfg.validate()
@@ -48,25 +63,44 @@ def main():
     src = img + JITTER_PAD
     pair_u8 = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (batch, 2, src, src, 1), np.uint8))
-    x = jax.random.uniform(key, (batch, img, img, 1), dtype=dt, minval=-1, maxval=1)
-    y = jax.random.uniform(key, (batch, img, img, 1), dtype=dt, minval=-1, maxval=1)
+    x0 = jax.random.uniform(key, (batch, img, img, 1), dtype=dt, minval=-1, maxval=1)
+    y0 = jax.random.uniform(jax.random.fold_in(key, 1), (batch, img, img, 1),
+                            dtype=dt, minval=-1, maxval=1)
 
-    aug = jax.jit(lambda p, k: paired_jitter_batch(p, k, img_size=img, dtype=dt))
-    g_fwd = jax.jit(lambda p, x, k: t.gen.apply(p, x, rng=k, compute_dtype=dt))
-    d_fwd = jax.jit(lambda p, x, y: t.disc.apply(p, x, y, compute_dtype=dt))
-    loss_fwd = jax.jit(lambda p, x, y, k: t._losses(p, x, y, k)[0])
-    step = jax.jit(lambda p, o, b, k: t._train_step(p, o, b, k))
+    results = {}
 
-    results = {
-        "augment": timeit(aug, pair_u8, key),
-        "gen_fwd": timeit(g_fwd, t.params["gen"], x, key),
-        "disc_fwd": timeit(d_fwd, t.params["disc"], x, y),
-        "losses_fwd": timeit(loss_fwd, t.params, x, y, key),
-        "train_step": timeit(step, t.params, t.opt_states, (x, y), key, reps=10),
-    }
-    print(f"batch={batch} img={img} dtype=bf16  (ms, images/sec)")
-    for k, v in results.items():
-        print(f"  {k:12s} {v * 1e3:8.2f} ms   {batch / v:9.1f} img/s")
+    def aug(c, i):
+        x, y = paired_jitter_batch(pair_u8, jax.random.fold_in(key, i),
+                                   img_size=img, dtype=dt)
+        return (c[0] + x[0, 0, 0, 0], )
+    results["augment"] = scan_time(aug, (jnp.zeros((), dt),), k)
+
+    def gfwd(c, i):
+        out = t.gen.apply(t.params["gen"], c, rng=key, compute_dtype=dt)
+        return out.astype(dt)
+    results["gen_fwd"] = scan_time(gfwd, x0, k)
+
+    def dfwd(c, i):
+        out = t.disc.apply(t.params["disc"], x0, c, compute_dtype=dt)
+        # fold logits back into an image-shaped carry to chain iterations
+        return c + jnp.mean(out).astype(dt)
+    results["disc_fwd"] = scan_time(dfwd, y0, k)
+
+    def lfwd(c, i):
+        combined, _ = t._losses(t.params, x0 + c, y0, key)
+        return c + combined.astype(dt) * 1e-9
+    results["losses_fwd"] = scan_time(lfwd, jnp.zeros((), dt), k)
+
+    def step(carry, i):
+        params, opt = carry
+        params, opt, _ = t._train_step(params, opt, (x0, y0),
+                                       jax.random.fold_in(key, i))
+        return (params, opt)
+    results["train_step"] = scan_time(step, (t.params, t.opt_states), max(4, k // 4))
+
+    print(f"batch={batch} img={img} dtype=bf16 (per-iteration device time)")
+    for name, v in results.items():
+        print(f"  {name:12s} {v * 1e3:8.2f} ms   {batch / v:9.1f} img/s")
 
 
 if __name__ == "__main__":

@@ -39,7 +39,8 @@ def main(cfg: CycleGANConfig) -> None:
         predict_cache = cache(cfg.input_images, contents_x, train=False)
         mgr = CheckpointManager(latest_checkpoint_dir(cfg.weights))
         trainer.load_state(mgr.restore(trainer.state()))
-        trainer.predict(predict_cache, dirs.root)
+        trainer.predict(predict_cache, dirs.root,
+                        raw=cfg.raw_predictions == "true")
 
     if cfg.train:                                             # ref cycle_gan.py:455-495
         contents_y = list_images(cfg.target_images)

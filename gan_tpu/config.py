@@ -52,6 +52,7 @@ class BaseConfig:
     resume: Optional[str] = None     # checkpoint dir to resume training from
     num_devices: int = 0             # 0 = all local devices
     use_pallas: str = "auto"         # auto | on | off — fused Pallas kernels
+    raw_predictions: str = "false"   # also write bare generated PNGs in predict
 
     def validate(self) -> None:
         """Reference asserts (pix2pix.py:373-375, cycle_gan.py:410-412).
@@ -155,6 +156,10 @@ def _add_common(parser: argparse.ArgumentParser, argv) -> None:
                         help="number of devices for data parallelism (0 = all)")
     parser.add_argument("--use-pallas", type=str, default="auto", choices=["auto", "on", "off"],
                         help="use fused Pallas TPU kernels where available")
+    parser.add_argument("--raw-predictions", type=str, default="false",
+                        choices=["true", "false"],
+                        help="in predict mode, also write bare generated images "
+                             "(prediction_images_raw/) for downstream pipelines")
 
 
 def parse_pix2pix(argv=None) -> Pix2PixConfig:

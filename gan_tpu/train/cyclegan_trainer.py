@@ -69,6 +69,7 @@ class CycleGANTrainer:
 
         self._epoch_fns: dict = {}
         self._sample_fn = None
+        self._batch_fn = None
         self._rem_train = jax.jit(lambda p, o, b, k: self._train_step(p, o, b, k))
         self._rem_eval = jax.jit(self._eval_step)
 
@@ -236,6 +237,47 @@ class CycleGANTrainer:
                               epoch_key)
         return np.asarray(losses)
 
+    def _run_epoch_streaming(self, x_np: np.ndarray, y_np: np.ndarray,
+                             epoch_key, *, training: bool,
+                             rng: np.random.Generator):
+        """Host-streamed zip(X, Y) pass (``--device-cache off``)."""
+        cfg = self.config
+        b = cfg.batch_size
+        nx, ny = x_np.shape[0], y_np.shape[0]
+        if min(nx, ny) == 0:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        perm_x, perm_y = rng.permutation(nx), rng.permutation(ny)
+        n_steps = min(-(-nx // b), -(-ny // b))
+        losses = []
+        for step in range(n_steps):
+            ix = perm_x[step * b: step * b + b]
+            iy = perm_y[step * b: step * b + b]
+            k = jax.random.fold_in(epoch_key, step)
+            k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
+            kx, ky = jax.random.split(k_data)
+            if training:
+                x = single_jitter_batch(jnp.asarray(x_np[ix]), kx,
+                                        img_size=cfg.img_size,
+                                        dtype=cfg.compute_dtype)
+                y = single_jitter_batch(jnp.asarray(y_np[iy]), ky,
+                                        img_size=cfg.img_size,
+                                        dtype=cfg.compute_dtype)
+                self.params, self.opt_states, l = self._rem_train(
+                    self.params, self.opt_states, (x, y), k_step)
+            else:
+                x = normalize_batch(jnp.asarray(x_np[ix]), cfg.compute_dtype)
+                y = normalize_batch(jnp.asarray(y_np[iy]), cfg.compute_dtype)
+                l = self._rem_eval(self.params, self.opt_states, (x, y), k_step)
+            losses.append(l)
+        return np.stack([np.asarray(l) for l in losses])
+
+    def _cache_fits(self, *caches) -> bool:
+        mode = self.config.device_cache
+        if mode in ("on", "off"):
+            return mode == "on"
+        from gan_tpu.data.loader import device_cache_fits
+        return device_cache_fits(sum(c.nbytes for c in caches), self.mesh)
+
     # ---------------------------------------------------------------- public
     def fit(self, train_x: np.ndarray, train_y: np.ndarray, val_x: np.ndarray,
             val_y: np.ndarray, test_cache: np.ndarray, output_path: str,
@@ -249,10 +291,15 @@ class CycleGANTrainer:
 
         example = np.asarray(normalize_batch(test_cache[:1].astype(np.float32)))
 
-        caches_train = {"x": loop.put_cache(train_x, self.mesh),
-                        "y": loop.put_cache(train_y, self.mesh)}
-        caches_val = {"x": loop.put_cache(val_x, self.mesh),
-                      "y": loop.put_cache(val_y, self.mesh)}
+        streaming = not self._cache_fits(train_x, train_y, val_x, val_y)
+        if streaming:
+            print("Device cache disabled — streaming batches from host.", flush=True)
+            caches_train = caches_val = None
+        else:
+            caches_train = {"x": loop.put_cache(train_x, self.mesh),
+                            "y": loop.put_cache(train_y, self.mesh)}
+            caches_val = {"x": loop.put_cache(val_x, self.mesh),
+                          "y": loop.put_cache(val_y, self.mesh)}
 
         start = time.time()
         rng = np.random.default_rng(cfg.seed)
@@ -268,17 +315,28 @@ class CycleGANTrainer:
             ek = jax.random.fold_in(base_key, epoch)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
-                tr = self._run_epoch(caches_train, len(train_x), len(train_y),
-                                     jax.random.fold_in(ek, 0), training=True,
-                                     rng=rng)
+                if streaming:
+                    tr = self._run_epoch_streaming(train_x, train_y,
+                                                   jax.random.fold_in(ek, 0),
+                                                   training=True, rng=rng)
+                else:
+                    tr = self._run_epoch(caches_train, len(train_x), len(train_y),
+                                         jax.random.fold_in(ek, 0), training=True,
+                                         rng=rng)
             jax.block_until_ready(self.params)
             ips = perf.stop(tr.shape[0] * cfg.batch_size)
             if report_perf:
                 print(f"[perf] epoch {epoch + 1}: {ips:.1f} image-pairs/sec "
                       f"({ips / self.mesh.size:.1f}/chip)", flush=True)
             print("." * (tr.shape[0] // 100), end="", flush=True)
-            va = self._run_epoch(caches_val, len(val_x), len(val_y),
-                                 jax.random.fold_in(ek, 1), training=False, rng=rng)
+            if streaming:
+                va = self._run_epoch_streaming(val_x, val_y,
+                                               jax.random.fold_in(ek, 1),
+                                               training=False, rng=rng)
+            else:
+                va = self._run_epoch(caches_val, len(val_x), len(val_y),
+                                     jax.random.fold_in(ek, 1), training=False,
+                                     rng=rng)
             for i, k in enumerate(CYCLEGAN_LOSS_KEYS):
                 train_cost[k].append(float(tr[:, i].mean()) if len(tr) else float("nan"))
                 val_cost[k].append(float(va[:, i].mean()) if len(va) else float("nan"))
@@ -322,13 +380,41 @@ class CycleGANTrainer:
         save_image_grid([input_image[0], pred[0]], path_filename,
                         channels=self.config.channels)
 
-    def predict(self, predict_cache: np.ndarray, output_path: str) -> None:
+    def generate_batched(self, inputs: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """Chunked batched inference. CycleGAN's instance norm is per-sample,
+        so direct batching is exactly equivalent to the reference's per-image
+        forwards (unlike Pix2Pix's batch norm — see Pix2PixTrainer)."""
+        if self._batch_fn is None:
+            self._batch_fn = jax.jit(lambda p, x, k: self.gen.apply(
+                p, x, rng=k, compute_dtype=self.config.compute_dtype))
+        base = jax.random.PRNGKey(self.config.seed + 2)
+        outs = []
+        for lo in range(0, inputs.shape[0], chunk):
+            xs = jnp.asarray(inputs[lo:lo + chunk], self.config.compute_dtype)
+            outs.append(np.asarray(
+                self._batch_fn(self.params["gen_g"], xs,
+                               jax.random.fold_in(base, lo)), np.float32))
+        return np.concatenate(outs, axis=0)
+
+    def predict(self, predict_cache: np.ndarray, output_path: str,
+                raw: bool = False) -> None:
         """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376)."""
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
         batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
+        preds = self.generate_batched(batch)
         for i in range(batch.shape[0]):
-            self.generate_image(batch[i:i + 1], os.path.join(plot_path, f"img{i}.png"))
+            save_image_grid([batch[i], preds[i]],
+                            os.path.join(plot_path, f"img{i}.png"),
+                            channels=self.config.channels)
+        if raw:
+            from PIL import Image
+            raw_path = os.path.join(output_path, "prediction_images_raw")
+            os.makedirs(raw_path, exist_ok=True)
+            u8 = np.clip((preds + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            for i in range(u8.shape[0]):
+                arr = u8[i, :, :, 0] if u8.shape[-1] == 1 else u8[i]
+                Image.fromarray(arr).save(os.path.join(raw_path, f"img{i}.png"))
 
     # ------------------------------------------------------------ state mgmt
     def state(self) -> dict:

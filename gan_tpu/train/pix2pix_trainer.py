@@ -77,6 +77,7 @@ class Pix2PixTrainer:
                                       and self.mesh.size > 1) else None
         self._epoch_fns: dict = {}
         self._sample_fn = None
+        self._batch_fn = None
         # persistent jit wrappers so the per-epoch remainder batch compiles once
         self._rem_train = jax.jit(lambda p, o, b, k: self._train_step(p, o, b, k))
         self._rem_eval = jax.jit(self._eval_step)
@@ -185,6 +186,40 @@ class Pix2PixTrainer:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
         return np.concatenate(all_losses, axis=0)
 
+    def _run_epoch_streaming(self, cache_np: np.ndarray, epoch_key, *,
+                             training: bool):
+        """Host-streamed fallback when the cache must not live in HBM
+        (``--device-cache off`` or auto-detected too large): per-batch jitted
+        steps with async dispatch; losses fetched once at epoch end."""
+        b = self.config.batch_size
+        n = cache_np.shape[0]
+        losses = []
+        for step, lo in enumerate(range(0, n, b)):
+            batch_u8 = jnp.asarray(cache_np[lo:lo + b])
+            k = jax.random.fold_in(epoch_key, step)
+            k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
+            if training:
+                x, y = paired_jitter_batch(batch_u8, k_data,
+                                           img_size=self.config.img_size,
+                                           dtype=self.config.compute_dtype)
+                self.params, self.opt_states, l = self._rem_train(
+                    self.params, self.opt_states, (x, y), k_step)
+            else:
+                pair = normalize_batch(batch_u8, self.config.compute_dtype)
+                l = self._rem_eval(self.params, self.opt_states,
+                                   (pair[:, 0], pair[:, 1]), k_step)
+            losses.append(l)
+        if not losses:
+            return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
+        return np.stack([np.asarray(l) for l in losses])
+
+    def _cache_fits(self, *caches) -> bool:
+        mode = self.config.device_cache
+        if mode in ("on", "off"):
+            return mode == "on"
+        from gan_tpu.data.loader import device_cache_fits
+        return device_cache_fits(sum(c.nbytes for c in caches), self.mesh)
+
     # ---------------------------------------------------------------- public
     def fit(self, train_cache: np.ndarray, val_cache: np.ndarray,
             test_cache: np.ndarray, output_path: str,
@@ -199,8 +234,13 @@ class Pix2PixTrainer:
         example = normalize_batch(test_cache[:1].astype(np.float32))
         example_input, example_target = np.asarray(example[:, 0]), np.asarray(example[:, 1])
 
-        train_dev = loop.put_cache(train_cache, self.mesh)
-        val_dev = loop.put_cache(val_cache, self.mesh)
+        streaming = not self._cache_fits(train_cache, val_cache)
+        if streaming:
+            print("Device cache disabled — streaming batches from host.", flush=True)
+            train_dev, val_dev = None, None
+        else:
+            train_dev = loop.put_cache(train_cache, self.mesh)
+            val_dev = loop.put_cache(val_cache, self.mesh)
         n_train, n_val = train_cache.shape[0], val_cache.shape[0]
 
         start = time.time()
@@ -217,17 +257,27 @@ class Pix2PixTrainer:
             ek = jax.random.fold_in(base_key, epoch)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
-                tr = self._run_epoch(train_dev, n_train,
-                                     jax.random.fold_in(ek, 0),
-                                     training=True, fixed_order=True, rng=rng)
+                if streaming:
+                    tr = self._run_epoch_streaming(train_cache,
+                                                   jax.random.fold_in(ek, 0),
+                                                   training=True)
+                else:
+                    tr = self._run_epoch(train_dev, n_train,
+                                         jax.random.fold_in(ek, 0),
+                                         training=True, fixed_order=True, rng=rng)
             jax.block_until_ready(self.params)
             ips = perf.stop(n_train)
             if report_perf:
                 print(f"[perf] epoch {epoch + 1}: {ips:.1f} images/sec "
                       f"({ips / self.mesh.size:.1f}/chip)", flush=True)
             print("." * (tr.shape[0] // 100), end="", flush=True)
-            va = self._run_epoch(val_dev, n_val, jax.random.fold_in(ek, 1),
-                                 training=False, fixed_order=True, rng=rng)
+            if streaming:
+                va = self._run_epoch_streaming(val_cache,
+                                               jax.random.fold_in(ek, 1),
+                                               training=False)
+            else:
+                va = self._run_epoch(val_dev, n_val, jax.random.fold_in(ek, 1),
+                                     training=False, fixed_order=True, rng=rng)
             for i, k in enumerate(PIX2PIX_LOSS_KEYS):
                 train_cost_functions[k].append(float(tr[:, i].mean()) if len(tr) else float("nan"))
                 val_cost_functions[k].append(float(va[:, i].mean()) if len(va) else float("nan"))
@@ -270,14 +320,51 @@ class Pix2PixTrainer:
                               jnp.asarray(input_batch, self.config.compute_dtype), key)
         return np.asarray(out, np.float32)
 
-    def predict(self, predict_cache: np.ndarray, output_path: str) -> None:
-        """prediction_images/img{N}.png per image (pix2pix.py:325-339)."""
+    def generate_batched(self, inputs: np.ndarray, chunk: int = 16) -> np.ndarray:
+        """Batched inference with per-image batch-norm statistics.
+
+        The reference runs one eager forward per image (pix2pix.py:337); its
+        BatchNorm therefore normalizes each image with its OWN stats. A naive
+        batched forward would couple samples through BN, so the generator is
+        ``vmap``-ed over size-1 sub-batches: identical per-image math, one
+        fused device program per chunk (the batch-inference path of
+        BASELINE.json config #5)."""
+        if self._batch_fn is None:
+            def one(p, x1, k):
+                return self.gen.apply(p, x1[None], rng=k,
+                                      compute_dtype=self.config.compute_dtype)[0]
+            self._batch_fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+        base = jax.random.PRNGKey(self.config.seed + 2)
+        outs = []
+        for lo in range(0, inputs.shape[0], chunk):
+            xs = jnp.asarray(inputs[lo:lo + chunk], self.config.compute_dtype)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+                jnp.arange(lo, lo + xs.shape[0]))
+            outs.append(np.asarray(self._batch_fn(self.params["gen"], xs, keys),
+                                   np.float32))
+        return np.concatenate(outs, axis=0)
+
+    def predict(self, predict_cache: np.ndarray, output_path: str,
+                raw: bool = False) -> None:
+        """prediction_images/img{N}.png per image (pix2pix.py:325-339); with
+        ``raw`` also writes the bare generated PNGs (TPU extension for
+        downstream pipelines, e.g. the MERGEN YOLOv5 handoff)."""
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
         batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
+        preds = self.generate_batched(batch[:, 0])
         for i in range(batch.shape[0]):
-            self.generate_image(batch[i:i + 1, 0], batch[i:i + 1, 1],
-                                os.path.join(plot_path, f"img{i}.png"))
+            save_image_grid([batch[i, 0], batch[i, 1], preds[i]],
+                            os.path.join(plot_path, f"img{i}.png"),
+                            channels=self.config.channels)
+        if raw:
+            from PIL import Image
+            raw_path = os.path.join(output_path, "prediction_images_raw")
+            os.makedirs(raw_path, exist_ok=True)
+            u8 = np.clip((preds + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            for i in range(u8.shape[0]):
+                arr = u8[i, :, :, 0] if u8.shape[-1] == 1 else u8[i]
+                Image.fromarray(arr).save(os.path.join(raw_path, f"img{i}.png"))
 
     # ------------------------------------------------------------ state mgmt
     def state(self) -> dict:
