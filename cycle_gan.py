@@ -19,6 +19,7 @@ from gan_tpu.utils import dump_json, make_run_dirs, redirect_logging, write_loss
 
 
 def main(cfg: CycleGANConfig) -> None:
+    os.environ["GAN_TPU_PALLAS"] = cfg.use_pallas            # kernel-path gate
     dirs = make_run_dirs(cfg.output)                         # ref cycle_gan.py:421-431
     if cfg.logging == "true":
         redirect_logging(dirs)

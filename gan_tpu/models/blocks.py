@@ -42,12 +42,11 @@ def init_norm_params(key, norm: str, c: int):
 def apply_norm(params, x, norm: str, *, bn_axis_name=None):
     if norm == "batch":
         return batch_norm(x, params["gamma"], params["beta"], axis_name=bn_axis_name)
-    # instance norm: fused Pallas kernel on TPU for non-trivial spatial sizes
-    # (one VMEM pass vs reduce+broadcast), XLA fallback otherwise
-    if x.shape[1] * x.shape[2] >= 256:
-        from gan_tpu.ops import pallas_kernels
-        if pallas_kernels.enabled():
-            return pallas_kernels.instance_norm(x, params["scale"], params["offset"])
+    # instance norm: fused Pallas kernel on TPU for shapes whose blocks fit
+    # VMEM (one pass vs reduce+broadcast), XLA fallback otherwise
+    from gan_tpu.ops import pallas_kernels
+    if pallas_kernels.enabled() and pallas_kernels.supported(x.shape, x.dtype):
+        return pallas_kernels.instance_norm(x, params["scale"], params["offset"])
     return instance_norm(x, params["scale"], params["offset"])
 
 

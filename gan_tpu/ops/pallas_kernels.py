@@ -30,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 IN_EPS = 1e-5  # reference InstanceNormalization epsilon (utils.py:9)
 
-_VMEM_BUDGET = 4 * 1024 * 1024  # bytes per block
+# Per-block byte budget. The backward kernel holds ~3 blocks (x, dy, dx) plus
+# Mosaic's double buffering on a 16 MB VMEM core, so blocks must stay small;
+# 1 MB keeps worst-case stack usage ≈ 12 MB (measured: 4 MB blocks OOM'd).
+_VMEM_BUDGET = 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -51,14 +54,32 @@ def _channel_tile(hw: int, c: int, itemsize: int) -> int:
     return tile
 
 
-def enabled() -> bool:
-    """Pallas path on? --use-pallas wires GAN_TPU_PALLAS; auto = TPU only."""
-    mode = os.environ.get("GAN_TPU_PALLAS", "auto")
-    if mode == "on":
-        return True
-    if mode == "off":
+def supported(shape, dtype) -> bool:
+    """Can instance_norm run as a Pallas kernel for this activation shape?
+
+    Requires a non-trivial spatial extent (sublane tiling) and a channel-tiled
+    block within the VMEM budget — larger activations (e.g. 128²×128 at 256²
+    images) fall back to the XLA twin, which handles them fine."""
+    n, h, w, c = shape
+    hw = h * w
+    if hw < 256 or c < 64 or c % 64:
         return False
-    return jax.default_backend() == "tpu"
+    itemsize = jnp.dtype(dtype).itemsize
+    return hw * _channel_tile(hw, c, itemsize) * itemsize <= _VMEM_BUDGET
+
+
+def enabled() -> bool:
+    """Pallas path on? --use-pallas wires GAN_TPU_PALLAS.
+
+    ``auto`` currently resolves to OFF: measured end-to-end on v5e, XLA's own
+    fused instance norm beats this kernel inside the CycleGAN train step
+    (182 vs 140 image-pairs/sec/chip at 256² — XLA fuses the norm into the
+    surrounding conv epilogue/elementwise chains, while the per-(sample,
+    channel-tile) grid here launches many small blocks). The kernel is kept
+    as the opt-in Pallas path (--use-pallas on) and as the base for future
+    fused norm+activation epilogues."""
+    mode = os.environ.get("GAN_TPU_PALLAS", "auto")
+    return mode == "on"
 
 
 # ---------------------------------------------------------------------------

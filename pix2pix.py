@@ -21,6 +21,7 @@ from gan_tpu.utils import dump_json, make_run_dirs, redirect_logging, write_loss
 
 
 def main(cfg: Pix2PixConfig) -> None:
+    os.environ["GAN_TPU_PALLAS"] = cfg.use_pallas           # kernel-path gate
     dirs = make_run_dirs(cfg.output)                        # ref pix2pix.py:384-392
     if cfg.logging == "true":
         redirect_logging(dirs)                              # ref pix2pix.py:393-395

@@ -133,3 +133,12 @@ def test_pix2pix_data_parallel_8dev(tmp_path):
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)
+
+
+def test_graft_entry_lowers():
+    """entry() must return a jittable fn + args (driver compile-checks it);
+    lowering (no compile) is enough to catch trace-time breakage fast."""
+    import jax
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    jax.jit(fn).lower(*args)
