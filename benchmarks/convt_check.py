@@ -1,6 +1,14 @@
 #!/usr/bin/env python3
 """Is XLA's lhs-dilated transposed conv paying for the inserted zeros?
 
+FINDING (v5e, 2026-08): a *standalone* scanned lhs-dilated conv measures
+~2000x slower than its dense-FLOPs baseline (≈46 GFLOP/s — it appears to hit
+a non-MXU fallback when compiled in isolation over the axon tunnel), yet the
+SAME op inside the full U-Net forward runs fine (whole G fwd ≈ 67 TF/s at
+batch 16, and the full train step is 19 ms — impossible if convT cost
+seconds). Treat this tool's absolute numbers as unrepresentative of in-graph
+behavior; end-to-end throughput (bench.py) is the criterion.
+
 Compares device time of:
   a) conv2d_transpose_up: stride-2 k4 lhs-dilated conv (H→2H), and
   b) an equal-output-FLOPs dense stride-1 conv at the OUTPUT resolution
@@ -31,10 +39,9 @@ def scan_time(fn, x, w, k=16):
     def run(x, w):
         def body(c, i):
             y = fn(c, w)
-            # fold output back to the input's shape so the carry chains
-            if y.shape != x.shape:
-                y = y[:, ::2, ::2, : x.shape[-1]]
-            return y.astype(x.dtype), ()
+            # chain via a scalar fold — slicing y back to x's shape perturbs
+            # XLA's conv fusion and gives wildly unrepresentative times
+            return c + jnp.mean(y).astype(x.dtype), ()
         c, _ = jax.lax.scan(body, x, jnp.arange(k))
         return jnp.sum(c.astype(jnp.float32))
 

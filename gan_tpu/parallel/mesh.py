@@ -29,6 +29,23 @@ def default_devices():
     return jax.devices()
 
 
+def init_multihost(**kwargs) -> None:
+    """Initialize cross-host JAX for pod-scale data parallelism.
+
+    Call once per host before building a mesh (SURVEY §5.8: single-controller
+    JAX, gradient all-reduce over ICI within a pod, DCN across pods). On
+    single-host TPU VMs this is a no-op — ``jax.distributed.initialize``
+    auto-discovers coordinator/process settings on Cloud TPU."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # single-process environment
+
+
 def make_mesh(num_devices: int = 0, *, devices=None) -> Mesh:
     """1-D data-parallel mesh. ``num_devices=0`` → all devices of the
     configured platform."""
