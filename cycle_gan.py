@@ -41,7 +41,7 @@ def main(cfg: CycleGANConfig) -> None:
         mgr = CheckpointManager(latest_checkpoint_dir(cfg.weights))
         trainer.load_state(mgr.restore(trainer.state()))
         trainer.predict(predict_cache, dirs.root,
-                        raw=cfg.raw_predictions == "true")
+                        raw=cfg.raw_predictions == "true", raw_names=contents_x)
 
     if cfg.train:                                             # ref cycle_gan.py:455-495
         contents_y = list_images(cfg.target_images)

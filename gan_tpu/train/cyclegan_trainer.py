@@ -397,8 +397,10 @@ class CycleGANTrainer:
         return np.concatenate(outs, axis=0)
 
     def predict(self, predict_cache: np.ndarray, output_path: str,
-                raw: bool = False) -> None:
+                raw: bool = False, raw_names=None) -> None:
         """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376)."""
+        from gan_tpu.train.pix2pix_trainer import _write_raw
+
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
         batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
@@ -408,13 +410,7 @@ class CycleGANTrainer:
                             os.path.join(plot_path, f"img{i}.png"),
                             channels=self.config.channels)
         if raw:
-            from PIL import Image
-            raw_path = os.path.join(output_path, "prediction_images_raw")
-            os.makedirs(raw_path, exist_ok=True)
-            u8 = np.clip((preds + 1.0) * 127.5, 0, 255).astype(np.uint8)
-            for i in range(u8.shape[0]):
-                arr = u8[i, :, :, 0] if u8.shape[-1] == 1 else u8[i]
-                Image.fromarray(arr).save(os.path.join(raw_path, f"img{i}.png"))
+            _write_raw(preds, output_path, raw_names)
 
     # ------------------------------------------------------------ state mgmt
     def state(self) -> dict:

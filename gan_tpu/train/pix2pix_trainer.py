@@ -44,6 +44,23 @@ from gan_tpu.train.optim import adam
 from gan_tpu.utils.grids import save_image_grid
 
 
+def _write_raw(preds: np.ndarray, output_path: str, names=None) -> None:
+    """Write bare generated images (fp32 [-1,1] → uint8 PNGs) to
+    prediction_images_raw/, named by source stem when names are given."""
+    from PIL import Image
+
+    raw_path = os.path.join(output_path, "prediction_images_raw")
+    os.makedirs(raw_path, exist_ok=True)
+    u8 = np.clip((preds + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for i in range(u8.shape[0]):
+        arr = u8[i, :, :, 0] if u8.shape[-1] == 1 else u8[i]
+        if names is not None:
+            name = os.path.splitext(os.path.basename(names[i]))[0] + ".png"
+        else:
+            name = f"img{i}.png"
+        Image.fromarray(arr).save(os.path.join(raw_path, name))
+
+
 def generator_depth(img_size: int) -> int:
     """The reference always builds 8 down blocks (base_gan.py:179-188); cap
     by log2(img_size) so tiny test images still bottleneck at 1×1."""
@@ -345,10 +362,12 @@ class Pix2PixTrainer:
         return np.concatenate(outs, axis=0)
 
     def predict(self, predict_cache: np.ndarray, output_path: str,
-                raw: bool = False) -> None:
+                raw: bool = False, raw_names=None) -> None:
         """prediction_images/img{N}.png per image (pix2pix.py:325-339); with
         ``raw`` also writes the bare generated PNGs (TPU extension for
-        downstream pipelines, e.g. the MERGEN YOLOv5 handoff)."""
+        downstream pipelines, e.g. the MERGEN YOLOv5 handoff), named after
+        their source files when ``raw_names`` is given so downstream pairing
+        survives arbitrary listing order."""
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
         batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
@@ -358,13 +377,7 @@ class Pix2PixTrainer:
                             os.path.join(plot_path, f"img{i}.png"),
                             channels=self.config.channels)
         if raw:
-            from PIL import Image
-            raw_path = os.path.join(output_path, "prediction_images_raw")
-            os.makedirs(raw_path, exist_ok=True)
-            u8 = np.clip((preds + 1.0) * 127.5, 0, 255).astype(np.uint8)
-            for i in range(u8.shape[0]):
-                arr = u8[i, :, :, 0] if u8.shape[-1] == 1 else u8[i]
-                Image.fromarray(arr).save(os.path.join(raw_path, f"img{i}.png"))
+            _write_raw(preds, output_path, raw_names)
 
     # ------------------------------------------------------------ state mgmt
     def state(self) -> dict:

@@ -43,7 +43,7 @@ def main(cfg: Pix2PixConfig) -> None:
         mgr = CheckpointManager(latest_checkpoint_dir(cfg.weights))
         trainer.load_state(mgr.restore(trainer.state()))
         trainer.predict(predict_cache, dirs.root,
-                        raw=cfg.raw_predictions == "true")
+                        raw=cfg.raw_predictions == "true", raw_names=contents)
 
     if cfg.train:                                            # ref pix2pix.py:414-454
         train_names, val_names, test_names = pix2pix_split(

@@ -147,6 +147,26 @@ def test_cyclegan_fused_backward_matches_per_tape():
             fused[name], ref)
 
 
+def test_pix2pix_ssim_mode_trains(p2p_trainer):
+    """--generator-loss ssim uses the CORRECTED loss 1−SSIM(G(x), y)
+    (the reference's version is broken — SURVEY §2.10-Q1): finite losses and
+    a nonzero secondary-loss gradient through the generator."""
+    import dataclasses
+    t_ssim = Pix2PixTrainer(
+        dataclasses.replace(p2p_trainer.config, generator_loss="ssim"))
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (2, 32, 32, 1), minval=-1, maxval=1)
+    y = -x
+    combined, losses = t_ssim._losses(t_ssim.params, x, y, key)
+    assert np.isfinite(float(combined))
+    secondary = float(losses[2])
+    assert 0.0 < secondary <= 2.0  # 1 - ssim ∈ (0, 2]
+    grads, _ = jax.grad(t_ssim._losses, has_aux=True)(t_ssim.params, x, y, key)
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads["gen"]))
+    assert gnorm > 0.0
+
+
 def test_loss_keys_match_reference():
     assert L.PIX2PIX_LOSS_KEYS == ("Generator Total Loss", "Generator Loss (Primary)",
                                    "Generator Loss (Secondary)", "Discriminator Loss")

@@ -102,13 +102,28 @@ def main(argv=None) -> int:
     ap.add_argument("--orient", default="left", choices=["left", "right"])
     args = ap.parse_args(argv)
 
-    gen = _load_dir(args.generated, args.channels, args.img_size)
+    gen_names = sorted(n for n in os.listdir(args.generated)
+                       if "png" in n or "jpg" in n)
+    gen = np.stack([
+        resize_nearest_np(decode_image(os.path.join(args.generated, n),
+                                       args.channels),
+                          args.img_size, args.img_size)
+        for n in gen_names]).astype(np.float32) / 127.5 - 1.0
+
     if args.pairs:
+        # match generated files to pair files by stem (predictions written
+        # with --raw-predictions carry their source filenames)
         from gan_tpu.data.pipeline import build_pix2pix_cache
-        names = sorted(n for n in os.listdir(args.pairs) if "png" in n or "jpg" in n)
-        cache = build_pix2pix_cache([os.path.join(args.pairs, n) for n in names],
-                                    img_size=args.img_size, channels=args.channels,
-                                    orient=args.orient, train=False)
+        by_stem = {os.path.splitext(n)[0]: n
+                   for n in os.listdir(args.pairs) if "png" in n or "jpg" in n}
+        matched = [(g, by_stem[os.path.splitext(g)[0]])
+                   for g in gen_names if os.path.splitext(g)[0] in by_stem]
+        assert matched, "no generated files share a stem with --pairs files"
+        gen = gen[[gen_names.index(g) for g, _ in matched]]
+        cache = build_pix2pix_cache(
+            [os.path.join(args.pairs, p) for _, p in matched],
+            img_size=args.img_size, channels=args.channels,
+            orient=args.orient, train=False)
         tar = cache[:, 1].astype(np.float32) / 127.5 - 1.0
     else:
         assert args.target, "--target or --pairs required"
