@@ -383,14 +383,19 @@ class CycleGANTrainer:
     def generate_batched(self, inputs: np.ndarray, chunk: int = 16) -> np.ndarray:
         """Chunked batched inference. CycleGAN's instance norm is per-sample,
         so direct batching is exactly equivalent to the reference's per-image
-        forwards (unlike Pix2Pix's batch norm — see Pix2PixTrainer)."""
+        forwards (unlike Pix2Pix's batch norm — see Pix2PixTrainer). uint8
+        inputs are normalized to [-1, 1] on device per chunk."""
         if self._batch_fn is None:
             self._batch_fn = jax.jit(lambda p, x, k: self.gen.apply(
                 p, x, rng=k, compute_dtype=self.config.compute_dtype))
         base = jax.random.PRNGKey(self.config.seed + 2)
         outs = []
         for lo in range(0, inputs.shape[0], chunk):
-            xs = jnp.asarray(inputs[lo:lo + chunk], self.config.compute_dtype)
+            xs = jnp.asarray(inputs[lo:lo + chunk])
+            if xs.dtype == jnp.uint8:
+                xs = normalize_batch(xs, self.config.compute_dtype)
+            else:
+                xs = xs.astype(self.config.compute_dtype)
             outs.append(np.asarray(
                 self._batch_fn(self.params["gen_g"], xs,
                                jax.random.fold_in(base, lo)), np.float32))
@@ -398,15 +403,16 @@ class CycleGANTrainer:
 
     def predict(self, predict_cache: np.ndarray, output_path: str,
                 raw: bool = False, raw_names=None) -> None:
-        """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376)."""
+        """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376).
+        Normalization is per image/chunk to bound host memory."""
         from gan_tpu.train.pix2pix_trainer import _write_raw
 
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
-        batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
-        preds = self.generate_batched(batch)
-        for i in range(batch.shape[0]):
-            save_image_grid([batch[i], preds[i]],
+        preds = self.generate_batched(predict_cache)
+        for i in range(predict_cache.shape[0]):
+            x = predict_cache[i].astype(np.float32) / 127.5 - 1.0
+            save_image_grid([x, preds[i]],
                             os.path.join(plot_path, f"img{i}.png"),
                             channels=self.config.channels)
         if raw:

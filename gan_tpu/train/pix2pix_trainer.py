@@ -345,7 +345,8 @@ class Pix2PixTrainer:
         batched forward would couple samples through BN, so the generator is
         ``vmap``-ed over size-1 sub-batches: identical per-image math, one
         fused device program per chunk (the batch-inference path of
-        BASELINE.json config #5)."""
+        BASELINE.json config #5). uint8 inputs are normalized to [-1, 1] on
+        device per chunk."""
         if self._batch_fn is None:
             def one(p, x1, k):
                 return self.gen.apply(p, x1[None], rng=k,
@@ -354,7 +355,11 @@ class Pix2PixTrainer:
         base = jax.random.PRNGKey(self.config.seed + 2)
         outs = []
         for lo in range(0, inputs.shape[0], chunk):
-            xs = jnp.asarray(inputs[lo:lo + chunk], self.config.compute_dtype)
+            xs = jnp.asarray(inputs[lo:lo + chunk])
+            if xs.dtype == jnp.uint8:
+                xs = normalize_batch(xs, self.config.compute_dtype)
+            else:
+                xs = xs.astype(self.config.compute_dtype)
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
                 jnp.arange(lo, lo + xs.shape[0]))
             outs.append(np.asarray(self._batch_fn(self.params["gen"], xs, keys),
@@ -370,10 +375,12 @@ class Pix2PixTrainer:
         survives arbitrary listing order."""
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
-        batch = np.asarray(normalize_batch(predict_cache.astype(np.float32)))
-        preds = self.generate_batched(batch[:, 0])
-        for i in range(batch.shape[0]):
-            save_image_grid([batch[i, 0], batch[i, 1], preds[i]],
+        # normalize lazily per image/chunk — materializing the whole predict
+        # set in fp32 would need ~15 GB host RAM at reference scale (28k imgs)
+        preds = self.generate_batched(predict_cache[:, 0])
+        for i in range(predict_cache.shape[0]):
+            pair = predict_cache[i].astype(np.float32) / 127.5 - 1.0
+            save_image_grid([pair[0], pair[1], preds[i]],
                             os.path.join(plot_path, f"img{i}.png"),
                             channels=self.config.channels)
         if raw:
