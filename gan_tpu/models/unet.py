@@ -18,7 +18,6 @@ optional ``remat`` flag wraps each down/up block in ``jax.checkpoint`` for
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

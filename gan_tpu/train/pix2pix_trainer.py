@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gan_tpu.config import Pix2PixConfig
-from gan_tpu.data.augment import JITTER_PAD, normalize_batch, paired_jitter_batch
+from gan_tpu.data.augment import normalize_batch, paired_jitter_batch
 from gan_tpu.losses import (PIX2PIX_LOSS_KEYS, discriminator_loss, empty_losses,
                             pix2pix_generator_loss, sg_tree)
 from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
