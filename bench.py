@@ -37,9 +37,9 @@ BASELINE_PER_CHIP = 250.0  # north star 2000 img/s on 8 chips
 def main() -> None:
     img_size = int(os.environ.get("BENCH_IMG_SIZE", "256"))
     n_dev = len(jax.devices())
-    per_dev_batch = int(os.environ.get("BENCH_PER_DEV_BATCH", "64"))
+    per_dev_batch = int(os.environ.get("BENCH_PER_DEV_BATCH", "128"))
     batch = per_dev_batch * n_dev
-    n_imgs = batch * int(os.environ.get("BENCH_STEPS", "16"))
+    n_imgs = batch * int(os.environ.get("BENCH_STEPS", "8"))
 
     cfg = Pix2PixConfig(data="", output="", img_size=img_size, batch_size=batch,
                         train=True, epochs=1, dtype="bf16", num_devices=n_dev)
