@@ -53,6 +53,7 @@ class BaseConfig:
     num_devices: int = 0             # 0 = all local devices
     use_pallas: str = "auto"         # auto | on | off — fused Pallas kernels
     raw_predictions: str = "false"   # also write bare generated PNGs in predict
+    remat: str = "auto"              # auto | on | off — jax.checkpoint U-Net blocks
 
     def validate(self) -> None:
         """Reference asserts (pix2pix.py:373-375, cycle_gan.py:410-412).
@@ -160,6 +161,11 @@ def _add_common(parser: argparse.ArgumentParser, argv) -> None:
                         choices=["true", "false"],
                         help="in predict mode, also write bare generated images "
                              "(prediction_images_raw/) for downstream pipelines")
+    parser.add_argument("--remat", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="gradient-checkpoint U-Net blocks (memory vs ~2x "
+                             "speed; auto enables only for very large "
+                             "per-device batches at 512)")
 
 
 def parse_pix2pix(argv=None) -> Pix2PixConfig:

@@ -53,8 +53,9 @@ class CycleGANTrainer:
         c = config.n_channels
         self.mesh = mesh if mesh is not None else make_mesh(self._auto_devices(config))
         depth = generator_depth(config.img_size)
+        from gan_tpu.train.pix2pix_trainer import use_remat
         self.gen = UNetGenerator(out_channels=c, norm="instance", depth=depth,
-                                 remat=config.img_size >= 512)
+                                 remat=use_remat(config, self.mesh.size))
         self.disc = PatchGANDiscriminator(norm="instance", target=False)
         self.tx = adam(config.learning_rate, config.beta_1, config.beta_2)
 
