@@ -68,15 +68,16 @@ def generator_depth(img_size: int) -> int:
 
 
 def use_remat(config, n_devices: int = 1) -> bool:
-    """Gradient checkpointing costs ~2.2× throughput (measured: 512² batch 8
-    trains at 156 img/s without remat vs 70 with, and fits v5e HBM), so
-    ``auto`` enables it only when the per-device activation footprint is far
-    beyond the measured-safe point (≳4× the 512²·batch-8 footprint)."""
+    """Gradient checkpointing costs real throughput, so ``auto`` enables it
+    only beyond the largest per-device activation footprint measured to fit
+    v5e HBM without it: 256 "256²-image equivalents" (= 512² batch 64, which
+    trains at 192 img/s rematerialization-free; 512² batch 32 runs 291 vs 167
+    with remat)."""
     if config.remat in ("on", "off"):
         return config.remat == "on"
     per_dev = max(1, config.batch_size // max(1, n_devices))
     footprint = per_dev * (config.img_size / 256) ** 2  # 256²-image equivalents
-    return footprint > 128
+    return footprint > 256
 
 
 class Pix2PixTrainer:

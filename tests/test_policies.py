@@ -17,13 +17,13 @@ def _cfg(**kw):
 
 
 def test_use_remat_auto_thresholds():
-    # measured-safe configs stay remat-free (291 img/s at 512² batch 32)
-    assert not use_remat(_cfg(img_size=256, batch_size=128), 1)
-    assert not use_remat(_cfg(img_size=512, batch_size=32), 1)
-    # far beyond the measured footprint → checkpointing kicks in
-    assert use_remat(_cfg(img_size=512, batch_size=64), 1)
+    # measured-safe configs stay remat-free (192 img/s at 512² batch 64)
+    assert not use_remat(_cfg(img_size=256, batch_size=256), 1)
+    assert not use_remat(_cfg(img_size=512, batch_size=64), 1)
+    # beyond the measured-fit footprint → checkpointing kicks in
+    assert use_remat(_cfg(img_size=512, batch_size=128), 1)
     # ...unless the batch shards across devices
-    assert not use_remat(_cfg(img_size=512, batch_size=64, num_devices=8), 8)
+    assert not use_remat(_cfg(img_size=512, batch_size=128, num_devices=8), 8)
     # explicit override wins both ways
     assert use_remat(_cfg(remat="on"), 1)
     assert not use_remat(_cfg(img_size=512, batch_size=512, remat="off"), 1)
