@@ -39,7 +39,7 @@ def main() -> None:
     n_dev = len(jax.devices())
     per_dev_batch = int(os.environ.get("BENCH_PER_DEV_BATCH", "128"))
     batch = per_dev_batch * n_dev
-    n_imgs = batch * int(os.environ.get("BENCH_STEPS", "8"))
+    n_imgs = batch * int(os.environ.get("BENCH_STEPS", "32"))
 
     cfg = Pix2PixConfig(data="", output="", img_size=img_size, batch_size=batch,
                         train=True, epochs=1, dtype="bf16", num_devices=n_dev)

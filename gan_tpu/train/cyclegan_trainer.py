@@ -148,32 +148,35 @@ class CycleGANTrainer:
         return losses
 
     # --------------------------------------------------------------- extract
-    def _extract_train(self, caches, idxs, key):
+    def _extract_train(self, caches, idxs, key, mode: str = "take"):
         kx, ky = jax.random.split(key)
         cfg = self.config
-        x = single_jitter_batch(jnp.take(caches["x"], idxs["x"], axis=0), kx,
+        x = single_jitter_batch(loop.fetch_rows(caches["x"], idxs["x"], mode), kx,
                                 img_size=cfg.img_size, dtype=cfg.compute_dtype)
-        y = single_jitter_batch(jnp.take(caches["y"], idxs["y"], axis=0), ky,
+        y = single_jitter_batch(loop.fetch_rows(caches["y"], idxs["y"], mode), ky,
                                 img_size=cfg.img_size, dtype=cfg.compute_dtype)
         return x, y
 
-    def _extract_eval(self, caches, idxs, key):
+    def _extract_eval(self, caches, idxs, key, mode: str = "take"):
         dt = self.config.compute_dtype
-        return (normalize_batch(jnp.take(caches["x"], idxs["x"], axis=0), dt),
-                normalize_batch(jnp.take(caches["y"], idxs["y"], axis=0), dt))
+        return (normalize_batch(loop.fetch_rows(caches["x"], idxs["x"], mode), dt),
+                normalize_batch(loop.fetch_rows(caches["y"], idxs["y"], mode), dt))
 
-    def _get_epoch_fn(self, training: bool):
-        if training not in self._epoch_fns:
+    def _get_epoch_fn(self, training: bool, mode: str):
+        cache_key = (training, mode)
+        if cache_key not in self._epoch_fns:
             axis = DATA_AXIS if self.mesh.size > 1 else None
             if training:
+                extract = lambda c, i, k: self._extract_train(c, i, k, mode)
                 step = lambda p, o, b, k: self._train_step(p, o, b, k, axis_name=axis)
-                fn = loop.make_cached_epoch(self.mesh, self._extract_train, step,
+                fn = loop.make_cached_epoch(self.mesh, extract, step,
                                             training=True)
             else:
-                fn = loop.make_cached_epoch(self.mesh, self._extract_eval,
+                extract = lambda c, i, k: self._extract_eval(c, i, k, mode)
+                fn = loop.make_cached_epoch(self.mesh, extract,
                                             self._eval_step, training=False)
-            self._epoch_fns[training] = fn
-        return self._epoch_fns[training]
+            self._epoch_fns[cache_key] = fn
+        return self._epoch_fns[cache_key]
 
     # ----------------------------------------------------------------- epoch
     def _run_epoch(self, caches_dev, nx: int, ny: int, epoch_key, *,
@@ -186,6 +189,7 @@ class CycleGANTrainer:
         if min(nx, ny) == 0:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
 
+        mode = loop.gather_mode(max(nx, ny), fixed_order=False, n_devices=ndev)
         if ndev == 1:
             perm_x, perm_y = rng.permutation(nx), rng.permutation(ny)
             n_steps = min(nx // b, ny // b)
@@ -194,7 +198,7 @@ class CycleGANTrainer:
             if n_steps:
                 perms = {"x": perm_x[: n_steps * b].reshape(n_steps, b).astype(np.int32),
                          "y": perm_y[: n_steps * b].reshape(n_steps, b).astype(np.int32)}
-                fn = self._get_epoch_fn(training)
+                fn = self._get_epoch_fn(training, mode)
                 if training:
                     self.params, self.opt_states, losses = fn(
                         self.params, self.opt_states, caches_dev, perms, epoch_key)
@@ -210,7 +214,7 @@ class CycleGANTrainer:
                 k = jax.random.fold_in(epoch_key, n_steps)
                 k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
                 batch = (self._extract_train if training else self._extract_eval)(
-                    caches_dev, idxs, k_data)
+                    caches_dev, idxs, k_data, mode)
                 if training:
                     self.params, self.opt_states, losses = self._rem_train(
                         self.params, self.opt_states, batch, k_step)
@@ -229,7 +233,7 @@ class CycleGANTrainer:
                                       per_dev_batch=b_loc, rng=rng, fixed_order=False),
                  "y": loop.local_perm(ny, ndev=ndev, n_steps=n_steps,
                                       per_dev_batch=b_loc, rng=rng, fixed_order=False)}
-        fn = self._get_epoch_fn(training)
+        fn = self._get_epoch_fn(training, mode)
         if training:
             self.params, self.opt_states, losses = fn(
                 self.params, self.opt_states, caches_dev, perms, epoch_key)

@@ -72,6 +72,42 @@ def make_cached_epoch(mesh, extract_fn: Callable, step_fn: Callable, *,
     return jax.jit(sm, donate_argnums=donate)
 
 
+def fetch_rows(cache, idxs, mode: str):
+    """Gather ``idxs`` rows of the leading axis by the fastest strategy.
+
+    ``jnp.take`` row-gather measured catastrophically slow on v5e (4.1 s for
+    128×163 KB uint8 rows vs 2 ms for either alternative), so:
+    * ``contig`` — rows are consecutive ascending (fixed-order epochs):
+      one dynamic slice starting at idxs[0].
+    * ``onehot`` — arbitrary rows via a one-hot selector matmul on the MXU;
+      exact for uint8 values (≤255 representable in bf16, one nonzero per
+      row). Reads the whole cache per call — only for small caches.
+    * ``take`` — plain gather fallback (arbitrary rows, any cache size).
+    Returns integer-valued rows (uint8 or bf16 — both feed the normalize /
+    crop stages identically)."""
+    if mode == "contig":
+        return jax.lax.dynamic_slice_in_dim(cache, idxs[0], idxs.shape[0], axis=0)
+    if mode == "onehot":
+        n = cache.shape[0]
+        sel = (idxs[:, None] == jnp.arange(n)[None, :]).astype(jnp.bfloat16)
+        flat = cache.reshape(n, -1).astype(jnp.bfloat16)
+        return (sel @ flat).reshape((idxs.shape[0],) + cache.shape[1:])
+    return jnp.take(cache, idxs, axis=0)
+
+
+# one-hot gather reads the whole cache per step; cap where that stays cheap
+ONEHOT_GATHER_MAX_ROWS = 4096
+
+
+def gather_mode(n_rows: int, *, fixed_order: bool, n_devices: int) -> str:
+    """Pick the fetch_rows strategy for an epoch (see fetch_rows)."""
+    if fixed_order and n_devices == 1:
+        return "contig"
+    if n_rows <= ONEHOT_GATHER_MAX_ROWS:
+        return "onehot"
+    return "take"
+
+
 def put_cache(cache_np: np.ndarray, mesh) -> jax.Array:
     """Device-put a host cache with its sample axis sharded over the mesh,
     zero-padding N to a multiple of the mesh size (pad rows are never indexed

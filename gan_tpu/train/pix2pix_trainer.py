@@ -157,41 +157,45 @@ class Pix2PixTrainer:
         return losses
 
     # --------------------------------------------------------------- extract
-    def _extract_train(self, cache, idxs, key):
-        pair = jnp.take(cache, idxs, axis=0)
+    def _extract_train(self, cache, idxs, key, mode: str = "take"):
+        pair = loop.fetch_rows(cache, idxs, mode)
         return paired_jitter_batch(pair, key, img_size=self.config.img_size,
                                    dtype=self.config.compute_dtype)
 
-    def _extract_eval(self, cache, idxs, key):
-        pair = normalize_batch(jnp.take(cache, idxs, axis=0),
+    def _extract_eval(self, cache, idxs, key, mode: str = "take"):
+        pair = normalize_batch(loop.fetch_rows(cache, idxs, mode),
                                self.config.compute_dtype)
         return pair[:, 0], pair[:, 1]
 
     # ----------------------------------------------------------------- epoch
-    def _get_epoch_fn(self, training: bool):
-        if training not in self._epoch_fns:
+    def _get_epoch_fn(self, training: bool, mode: str):
+        cache_key = (training, mode)
+        if cache_key not in self._epoch_fns:
             axis = DATA_AXIS if self.mesh.size > 1 else None
             if training:
+                extract = lambda c, i, k: self._extract_train(c, i, k, mode)
                 step = lambda p, o, b, k: self._train_step(p, o, b, k, axis_name=axis)
-                fn = loop.make_cached_epoch(self.mesh, self._extract_train, step,
+                fn = loop.make_cached_epoch(self.mesh, extract, step,
                                             training=True)
             else:
-                fn = loop.make_cached_epoch(self.mesh, self._extract_eval,
+                extract = lambda c, i, k: self._extract_eval(c, i, k, mode)
+                fn = loop.make_cached_epoch(self.mesh, extract,
                                             self._eval_step, training=False)
-            self._epoch_fns[training] = fn
-        return self._epoch_fns[training]
+            self._epoch_fns[cache_key] = fn
+        return self._epoch_fns[cache_key]
 
     def _run_epoch(self, cache_dev, cache_len: int, epoch_key, *, training: bool,
                    fixed_order: bool, rng: np.random.Generator):
         """One dataset pass. Returns (n_steps+maybe 1, 4) per-step losses."""
         ndev = self.mesh.size
         n_steps, b_loc, rem = loop.epoch_plan(cache_len, self.config.batch_size, ndev)
+        mode = loop.gather_mode(cache_len, fixed_order=fixed_order, n_devices=ndev)
         all_losses = []
         if n_steps > 0:
             perm = loop.local_perm(cache_len, ndev=ndev, n_steps=n_steps,
                                    per_dev_batch=b_loc, rng=rng,
                                    fixed_order=fixed_order)
-            fn = self._get_epoch_fn(training)
+            fn = self._get_epoch_fn(training, mode)
             if training:
                 self.params, self.opt_states, losses = fn(
                     self.params, self.opt_states, cache_dev, perm, epoch_key)
@@ -205,7 +209,7 @@ class Pix2PixTrainer:
             key = jax.random.fold_in(epoch_key, n_steps)
             k_data, k_step = jax.random.split(jax.random.fold_in(key, 0))
             batch = (self._extract_train if training else self._extract_eval)(
-                cache_dev, idxs, k_data)
+                cache_dev, idxs, k_data, "contig")
             if training:
                 self.params, self.opt_states, losses = self._rem_train(
                     self.params, self.opt_states, batch, k_step)

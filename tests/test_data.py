@@ -149,6 +149,30 @@ def test_crops_vary_across_batch():
     assert len(np.unique(first_rows)) > 1  # different offsets drawn per sample
 
 
+def test_matmul_crop_matches_direct_gather():
+    """The MXU one-hot-selector crop must be EXACTLY the gather it replaces:
+    same offsets/flips (via the shared _draw_params) applied by plain numpy
+    slicing must reproduce the kernel's output bit-for-bit (uint8 values are
+    exact in fp32/bf16 and each selector row has a single 1)."""
+    s, b = 16, 6
+    src = s + augment.JITTER_PAD
+    img = np.random.default_rng(7).integers(0, 255, (b, 2, src, src, 1), np.uint8)
+    key = jax.random.PRNGKey(9)
+    x, y = augment.paired_jitter_batch(jnp.asarray(img), key,
+                                       img_size=s, dtype=jnp.float32)
+    oh, ow, flip = jax.tree_util.tree_map(
+        np.asarray, augment._draw_params(key, b, src - s + 1))
+    for i in range(b):
+        crop = img[i, :, oh[i]:oh[i] + s, ow[i]:ow[i] + s, :].astype(np.float32)
+        if flip[i]:
+            crop = crop[:, :, ::-1, :]
+        want = crop / 127.5 - 1.0
+        # selection is bit-exact; the only deviation is XLA folding the
+        # /127.5 into a reciprocal multiply (1 ulp, same as the old path)
+        np.testing.assert_allclose(np.asarray(x)[i], want[0], atol=3e-7, rtol=0)
+        np.testing.assert_allclose(np.asarray(y)[i], want[1], atol=3e-7, rtol=0)
+
+
 def test_normalize_batch():
     u8 = np.array([[0, 127, 255]], np.uint8).reshape(1, 1, 3, 1)
     out = np.asarray(augment.normalize_batch(jnp.asarray(u8)))
