@@ -60,13 +60,16 @@ def test_pix2pix_train_then_predict(tmp_path):
     assert all(len(v) == 6 and all(np.isfinite(x) for x in v)
                for v in metrics.values())
 
+    # separate --output: timestamped run dirs collide within the same minute
+    # (reference quirk, SURVEY §2.10-Q11) and training is now fast enough
+    # that train+predict can share a minute
+    out2 = str(tmp_path / "out_pred")
     cfg2 = parse_pix2pix([
-        "--data", data, "--output", out, "--predict", "--weights", run,
+        "--data", data, "--output", out2, "--predict", "--weights", run,
         "--img-size", "32", "--logging", "false", "--dtype", "fp32",
         "--num-devices", "1"])
     main(cfg2)
-    run2 = sorted(glob.glob(out + "/*"))[-1]
-    assert run2 != run
+    run2 = sorted(glob.glob(out2 + "/*"))[-1]
     assert len(glob.glob(f"{run2}/prediction_images/img*.png")) == 12
 
 
@@ -96,12 +99,13 @@ def test_cyclegan_train_then_predict(tmp_path):
     assert len(glob.glob(f"{run}/figs/CycleGAN *.png")) == 7
     assert len(glob.glob(f"{run}/final_test_imgs/img*.png")) == 2
 
+    out2 = str(tmp_path / "out_pred")  # avoid same-minute dir collision (Q11)
     cfg2 = parse_cyclegan([
-        "--input-images", dx, "--output", out, "--predict", "--weights", run,
+        "--input-images", dx, "--output", out2, "--predict", "--weights", run,
         "--img-size", "32", "--logging", "false", "--dtype", "fp32",
         "--num-devices", "1"])
     main(cfg2)
-    run2 = sorted(glob.glob(out + "/*"))[-1]
+    run2 = sorted(glob.glob(out2 + "/*"))[-1]
     assert len(glob.glob(f"{run2}/prediction_images/img*.png")) == 8
 
 
