@@ -20,6 +20,9 @@ from gan_tpu.utils import dump_json, make_run_dirs, redirect_logging, write_loss
 
 def main(cfg: CycleGANConfig) -> None:
     os.environ["GAN_TPU_PALLAS"] = cfg.use_pallas            # kernel-path gate
+    if os.environ.get("GAN_TPU_MULTIHOST") == "1":           # pod-scale DP opt-in
+        from gan_tpu.parallel.mesh import init_multihost
+        init_multihost()
     dirs = make_run_dirs(cfg.output)                         # ref cycle_gan.py:421-431
     if cfg.logging == "true":
         redirect_logging(dirs)
@@ -31,13 +34,32 @@ def main(cfg: CycleGANConfig) -> None:
     contents_x = list_images(cfg.input_images)
     assert contents_x, "No images found in input image directory!"  # ref :99
 
-    def cache(directory, names, train):
-        return build_cyclegan_cache([os.path.join(directory, n) for n in names],
-                                    img_size=cfg.img_size, channels=cfg.n_channels,
-                                    train=train)
+    from gan_tpu.data.augment import JITTER_PAD
+    from gan_tpu.data.loader import FileCache, host_cache_fits
+    import numpy as np
+
+    def cache(directory, names, train, allow_stream=False):
+        """Decoded uint8 host cache, or a FileCache streaming from disk when
+        the decoded corpus exceeds host RAM / --host-cache off."""
+        paths = [os.path.join(directory, n) for n in names]
+        size = cfg.img_size + (JITTER_PAD if train else 0)
+        sample_shape = (size, size, cfg.n_channels)
+        est = len(paths) * int(np.prod(sample_shape))
+        if allow_stream and not host_cache_fits(est, cfg.host_cache):
+            print(f"Host cache disabled for {len(paths)} files — streaming "
+                  "from disk.", flush=True)
+            return FileCache(
+                paths,
+                lambda p: build_cyclegan_cache(
+                    [p], img_size=cfg.img_size, channels=cfg.n_channels,
+                    train=train)[0],
+                sample_shape, cfg.batch_size)
+        return build_cyclegan_cache(paths, img_size=cfg.img_size,
+                                    channels=cfg.n_channels, train=train)
 
     if cfg.predict:                                           # ref cycle_gan.py:450-453
-        predict_cache = cache(cfg.input_images, contents_x, train=False)
+        predict_cache = cache(cfg.input_images, contents_x, train=False,
+                              allow_stream=True)
         mgr = CheckpointManager(latest_checkpoint_dir(cfg.weights))
         trainer.load_state(mgr.restore(trainer.state()))
         trainer.predict(predict_cache, dirs.root,
@@ -49,11 +71,11 @@ def main(cfg: CycleGANConfig) -> None:
         train_x_n, train_y_n, val_x_n, val_y_n, test_n = cyclegan_split(
             contents_x, contents_y, seed=cfg.seed, test_img=cfg.test_img,
             validation_size=cfg.validation_size)
-        train_x = cache(cfg.input_images, train_x_n, train=True)
-        train_y = cache(cfg.target_images, train_y_n, train=True)
-        val_x = cache(cfg.input_images, val_x_n, train=False)
-        val_y = cache(cfg.target_images, val_y_n, train=False)
-        test_cache = cache(cfg.input_images, test_n, train=False)
+        train_x = cache(cfg.input_images, train_x_n, train=True, allow_stream=True)
+        train_y = cache(cfg.target_images, train_y_n, train=True, allow_stream=True)
+        val_x = cache(cfg.input_images, val_x_n, train=False, allow_stream=True)
+        val_y = cache(cfg.target_images, val_y_n, train=False, allow_stream=True)
+        test_cache = cache(cfg.input_images, test_n, train=False)  # small
 
         manager = None
         if cfg.save_weights == "true":
@@ -73,7 +95,6 @@ def main(cfg: CycleGANConfig) -> None:
         # final test images (ref cycle_gan.py:469-475)
         os.makedirs(dirs.final_test_imgs, exist_ok=True)
         from gan_tpu.data.augment import normalize_batch
-        import numpy as np
         test_norm = np.asarray(normalize_batch(test_cache.astype(np.float32)))
         for i in range(test_norm.shape[0]):
             trainer.generate_image(test_norm[i:i + 1],

@@ -54,6 +54,8 @@ class BaseConfig:
     use_pallas: str = "auto"         # auto | on | off — fused Pallas kernels
     raw_predictions: str = "false"   # also write bare generated PNGs in predict
     remat: str = "auto"              # auto | on | off — jax.checkpoint U-Net blocks
+    host_cache: str = "auto"         # auto | on | off — decode corpus into host RAM
+                                     # (off/too-big: stream batches from files)
 
     def validate(self) -> None:
         """Reference asserts (pix2pix.py:373-375, cycle_gan.py:410-412).
@@ -166,6 +168,11 @@ def _add_common(parser: argparse.ArgumentParser, argv) -> None:
                         help="gradient-checkpoint U-Net blocks (memory vs ~2x "
                              "speed; auto enables only for very large "
                              "per-device batches at 512)")
+    parser.add_argument("--host-cache", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="decode the whole corpus into host RAM up front; "
+                             "off (or auto when it would not fit) streams "
+                             "batches from files via background decode threads")
 
 
 def parse_pix2pix(argv=None) -> Pix2PixConfig:

@@ -18,6 +18,29 @@ from typing import Callable, Sequence
 import numpy as np
 
 
+def host_ram_available() -> int:
+    """MemAvailable from /proc/meminfo (bytes); 32 GB fallback."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 32 << 30
+
+
+def host_cache_fits(nbytes: int, mode: str = "auto", *,
+                    fraction: float = 0.5) -> bool:
+    """Decide decode-everything-up-front (host uint8 cache) vs file
+    streaming. ``mode``: on/off force it; auto compares against ``fraction``
+    of MemAvailable (the decode itself needs headroom for threads + the
+    training process)."""
+    if mode in ("on", "off"):
+        return mode == "on"
+    return nbytes <= fraction * host_ram_available()
+
+
 def device_cache_fits(nbytes: int, mesh, *, fraction: float = 0.4) -> bool:
     """True when a cache of ``nbytes`` (sharded over the mesh) fits within
     ``fraction`` of per-device memory. Falls back to a 12 GB estimate when the
@@ -85,3 +108,53 @@ class StreamingLoader:
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)
+
+    def rows(self, idxs) -> np.ndarray:
+        """Decode specific files synchronously (remainder batches)."""
+        return np.stack(list(self._pool.map(
+            lambda i: self.preprocess(self.paths[int(i)]), idxs)))
+
+
+class FileCache:
+    """Array-like facade over :class:`StreamingLoader` for corpora whose
+    decoded form exceeds host RAM: exposes ``shape``/``nbytes``/``len`` like
+    the uint8 ndarray caches from gan_tpu.data.pipeline, but materializes
+    batches lazily from files (background decode threads). Trainers accept
+    either an ndarray or a FileCache; a FileCache always takes the
+    host-streaming epoch path. Replaces tf.data's per-step disk streaming
+    (reference pix2pix.py:155-163) for bigger-than-RAM datasets."""
+
+    def __init__(self, paths: Sequence[str], preprocess: Callable[[str], np.ndarray],
+                 sample_shape: tuple, batch_size: int, *, prefetch: int = 4,
+                 workers: int = 16):
+        self._loader = StreamingLoader(paths, preprocess, batch_size,
+                                       prefetch=prefetch, workers=workers)
+        self.shape = (len(paths),) + tuple(sample_shape)
+        self.dtype = np.uint8
+        self.nbytes = int(np.prod(self.shape))
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def epoch(self, order: np.ndarray | None = None):
+        """Yield (B, *sample_shape) uint8 batches in ``order``."""
+        return self._loader.epoch(order)
+
+    def rows(self, idxs) -> np.ndarray:
+        return self._loader.rows(idxs)
+
+    def close(self) -> None:
+        self._loader.close()
+
+
+def iter_uint8_batches(cache, batch_size: int, order: np.ndarray | None = None):
+    """Uniform batch iterator over an ndarray cache or a FileCache."""
+    if isinstance(cache, FileCache):
+        yield from cache.epoch(order)
+        return
+    idx = np.arange(cache.shape[0]) if order is None else np.asarray(order)
+    for lo in range(0, len(idx), batch_size):
+        sel = idx[lo:lo + batch_size]
+        contig = len(sel) and sel[0] + len(sel) - 1 == sel[-1] and (
+            np.all(np.diff(sel) == 1) if len(sel) > 1 else True)
+        yield cache[sel[0]:sel[0] + len(sel)] if contig else cache[sel]

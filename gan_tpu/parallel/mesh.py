@@ -29,21 +29,48 @@ def default_devices():
     return jax.devices()
 
 
-def init_multihost(**kwargs) -> None:
-    """Initialize cross-host JAX for pod-scale data parallelism.
+def init_multihost(**kwargs) -> int:
+    """Initialize cross-host JAX for pod-scale data parallelism; returns the
+    resolved process count.
 
     Call once per host before building a mesh (SURVEY §5.8: single-controller
-    JAX, gradient all-reduce over ICI within a pod, DCN across pods). On
-    single-host TPU VMs this is a no-op — ``jax.distributed.initialize``
-    auto-discovers coordinator/process settings on Cloud TPU."""
-    import jax
+    JAX, gradient all-reduce over ICI within a pod, DCN across pods). The
+    CLIs call this when ``GAN_TPU_MULTIHOST=1``; on Cloud TPU pods
+    ``jax.distributed.initialize`` auto-discovers coordinator/process
+    settings, elsewhere pass ``coordinator_address`` / ``num_processes`` /
+    ``process_id`` explicitly.
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    Failure semantics (a silent fallback here would degrade a pod job to N
+    independent single-host trainings): auto-detection finding no cluster
+    environment is the one benign case and returns 1; everything else —
+    explicit settings that fail, a dead coordinator, version mismatches —
+    re-raises."""
+    import jax
+    from jax._src import distributed as _distributed
+
+    # probe the coordination client directly — jax.process_count() would
+    # initialize the XLA backend, after which distributed.initialize refuses
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return _distributed.global_state.num_processes  # already initialized
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single-process environment
+    except Exception as e:
+        auto = not kwargs.get("coordinator_address")
+        if auto and ("coordinator_address" in str(e)
+                     or "auto" in str(e).lower()
+                     or "detect" in str(e).lower()):
+            return 1  # genuinely single-process: no cluster env to join
+        if auto and "must be called before" in str(e):
+            # backend already live and no cluster was configured — benign on
+            # a single host; a real pod must init before any JAX op
+            print("[gan_tpu] multihost auto-init skipped: JAX backend already "
+                  "initialized", flush=True)
+            return 1
+        raise
+    n = _distributed.global_state.num_processes
+    print(f"[gan_tpu] multihost initialized: {n} processes, coordinator "
+          f"{_distributed.global_state.coordinator_address}", flush=True)
+    return n
 
 
 def make_mesh(num_devices: int = 0, *, devices=None) -> Mesh:

@@ -39,7 +39,8 @@ from gan_tpu.losses import (CYCLEGAN_LOSS_KEYS, cycle_loss, discriminator_loss,
                             empty_losses, generator_adversarial_loss,
                             identity_loss, sg_tree)
 from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
-from gan_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated_sharding
+from gan_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated_sharding,
+                                   shard_batch)
 from gan_tpu.train import loop
 from gan_tpu.train.checkpoint import CheckpointManager
 from gan_tpu.train.optim import adam
@@ -69,10 +70,12 @@ class CycleGANTrainer:
         self.opt_states = jax.device_put(opt_states, rep)
 
         self._epoch_fns: dict = {}
+        self._stream_fns: dict = {}
         self._sample_fn = None
         self._batch_fn = None
-        self._rem_train = jax.jit(lambda p, o, b, k: self._train_step(p, o, b, k))
-        self._rem_eval = jax.jit(self._eval_step)
+        # remainder step: prep + step in one replicated program (any mesh size)
+        self._rem_train = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, True))
+        self._rem_eval = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, False))
 
     @staticmethod
     def _auto_devices(config: CycleGANConfig) -> int:
@@ -148,19 +151,36 @@ class CycleGANTrainer:
         return losses
 
     # --------------------------------------------------------------- extract
-    def _extract_train(self, caches, idxs, key, mode: str = "take"):
-        kx, ky = jax.random.split(key)
+    def _prep(self, batch_u8_pair, key, training: bool):
+        """(u8_x, u8_y) rows → model batch (independent jitters, kx/ky split
+        as in the epoch runner's extract)."""
         cfg = self.config
-        x = single_jitter_batch(loop.fetch_rows(caches["x"], idxs["x"], mode), kx,
-                                img_size=cfg.img_size, dtype=cfg.compute_dtype)
-        y = single_jitter_batch(loop.fetch_rows(caches["y"], idxs["y"], mode), ky,
-                                img_size=cfg.img_size, dtype=cfg.compute_dtype)
-        return x, y
+        u8x, u8y = batch_u8_pair
+        if training:
+            kx, ky = jax.random.split(key)
+            return (single_jitter_batch(u8x, kx, img_size=cfg.img_size,
+                                        dtype=cfg.compute_dtype),
+                    single_jitter_batch(u8y, ky, img_size=cfg.img_size,
+                                        dtype=cfg.compute_dtype))
+        return (normalize_batch(u8x, cfg.compute_dtype),
+                normalize_batch(u8y, cfg.compute_dtype))
+
+    def _rem_step(self, params, opt_states, batch_u8_pair, key, training: bool):
+        k_data, k_step = jax.random.split(key)
+        batch = self._prep(batch_u8_pair, k_data, training)
+        if training:
+            return self._train_step(params, opt_states, batch, k_step)
+        return self._eval_step(params, opt_states, batch, k_step)
+
+    def _extract_train(self, caches, idxs, key, mode: str = "take"):
+        return self._prep((loop.fetch_rows(caches["x"], idxs["x"], mode),
+                           loop.fetch_rows(caches["y"], idxs["y"], mode)),
+                          key, True)
 
     def _extract_eval(self, caches, idxs, key, mode: str = "take"):
-        dt = self.config.compute_dtype
-        return (normalize_batch(loop.fetch_rows(caches["x"], idxs["x"], mode), dt),
-                normalize_batch(loop.fetch_rows(caches["y"], idxs["y"], mode), dt))
+        return self._prep((loop.fetch_rows(caches["x"], idxs["x"], mode),
+                           loop.fetch_rows(caches["y"], idxs["y"], mode)),
+                          key, False)
 
     def _get_epoch_fn(self, training: bool, mode: str):
         cache_key = (training, mode)
@@ -179,108 +199,135 @@ class CycleGANTrainer:
         return self._epoch_fns[cache_key]
 
     # ----------------------------------------------------------------- epoch
-    def _run_epoch(self, caches_dev, nx: int, ny: int, epoch_key, *,
-                   training: bool, rng: np.random.Generator):
-        """One zip(X, Y) pass (cycle_gan.py:297): length = the shorter domain,
-        independent per-epoch shuffles (reshuffle_each_iteration=True)."""
+    def _run_remainder(self, rows_pair, epoch_key, n_steps: int, training: bool):
+        """One replicated step over the zip tail — the shorter domain's
+        partial final batch (the reference's ceil-batched Dataset.zip,
+        cycle_gan.py:297). Runs at any mesh size; X/Y tail sizes may differ
+        (loss reductions are means, as in the reference)."""
+        rep = replicated_sharding(self.mesh)
+        arr = tuple(jax.device_put(np.ascontiguousarray(r), rep)
+                    for r in rows_pair)
+        key = jax.random.fold_in(jax.random.fold_in(epoch_key, n_steps), 0)
+        if training:
+            self.params, self.opt_states, losses = self._rem_train(
+                self.params, self.opt_states, arr, key)
+        else:
+            losses = self._rem_eval(self.params, self.opt_states, arr, key)
+        return np.asarray(losses)[None]
+
+    def _run_epoch(self, caches_dev, x_np: np.ndarray, y_np: np.ndarray,
+                   epoch_key, *, training: bool, rng: np.random.Generator):
+        """One zip(X, Y) pass (cycle_gan.py:297): length = the shorter
+        domain's batch count, independent per-epoch shuffles
+        (reshuffle_each_iteration=True). Host arrays feed the tail batch."""
         cfg = self.config
         b = cfg.batch_size
         ndev = self.mesh.size
-        if min(nx, ny) == 0:
-            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-
-        mode = loop.gather_mode(max(nx, ny), fixed_order=False, n_devices=ndev)
-        if ndev == 1:
-            perm_x, perm_y = rng.permutation(nx), rng.permutation(ny)
-            n_steps = min(nx // b, ny // b)
-            total_ref = min(-(-nx // b), -(-ny // b))  # zip of ceil-batched datasets
-            all_losses = []
-            if n_steps:
-                perms = {"x": perm_x[: n_steps * b].reshape(n_steps, b).astype(np.int32),
-                         "y": perm_y[: n_steps * b].reshape(n_steps, b).astype(np.int32)}
-                fn = self._get_epoch_fn(training, mode)
-                if training:
-                    self.params, self.opt_states, losses = fn(
-                        self.params, self.opt_states, caches_dev, perms, epoch_key)
-                else:
-                    _, _, losses = fn(self.params, self.opt_states, caches_dev,
-                                      perms, epoch_key)
-                all_losses.append(np.asarray(losses))
-            if total_ref > n_steps:  # the shorter domain's partial final batch
-                bx = min(b, nx - n_steps * b)
-                by = min(b, ny - n_steps * b)
-                idxs = {"x": jnp.asarray(perm_x[n_steps * b: n_steps * b + bx]),
-                        "y": jnp.asarray(perm_y[n_steps * b: n_steps * b + by])}
-                k = jax.random.fold_in(epoch_key, n_steps)
-                k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
-                batch = (self._extract_train if training else self._extract_eval)(
-                    caches_dev, idxs, k_data, mode)
-                if training:
-                    self.params, self.opt_states, losses = self._rem_train(
-                        self.params, self.opt_states, batch, k_step)
-                else:
-                    losses = self._rem_eval(self.params, self.opt_states, batch, k_step)
-                all_losses.append(np.asarray(losses)[None])
-            if not all_losses:
-                return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-            return np.concatenate(all_losses, axis=0)
-
-        # DP mode: full batches only, per-device cycling perms
-        n_steps, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
-        if n_steps == 0:
-            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-        perms = {"x": loop.local_perm(nx, ndev=ndev, n_steps=n_steps,
-                                      per_dev_batch=b_loc, rng=rng, fixed_order=False),
-                 "y": loop.local_perm(ny, ndev=ndev, n_steps=n_steps,
-                                      per_dev_batch=b_loc, rng=rng, fixed_order=False)}
-        fn = self._get_epoch_fn(training, mode)
-        if training:
-            self.params, self.opt_states, losses = fn(
-                self.params, self.opt_states, caches_dev, perms, epoch_key)
-        else:
-            _, _, losses = fn(self.params, self.opt_states, caches_dev, perms,
-                              epoch_key)
-        return np.asarray(losses)
-
-    def _run_epoch_streaming(self, x_np: np.ndarray, y_np: np.ndarray,
-                             epoch_key, *, training: bool,
-                             rng: np.random.Generator):
-        """Host-streamed zip(X, Y) pass (``--device-cache off``)."""
-        cfg = self.config
-        b = cfg.batch_size
         nx, ny = x_np.shape[0], y_np.shape[0]
         if min(nx, ny) == 0:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-        perm_x, perm_y = rng.permutation(nx), rng.permutation(ny)
-        n_steps = min(-(-nx // b), -(-ny // b))
-        losses = []
-        for step in range(n_steps):
-            ix = perm_x[step * b: step * b + b]
-            iy = perm_y[step * b: step * b + b]
-            k = jax.random.fold_in(epoch_key, step)
-            k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
-            kx, ky = jax.random.split(k_data)
-            if training:
-                x = single_jitter_batch(jnp.asarray(x_np[ix]), kx,
-                                        img_size=cfg.img_size,
-                                        dtype=cfg.compute_dtype)
-                y = single_jitter_batch(jnp.asarray(y_np[iy]), ky,
-                                        img_size=cfg.img_size,
-                                        dtype=cfg.compute_dtype)
-                self.params, self.opt_states, l = self._rem_train(
-                    self.params, self.opt_states, (x, y), k_step)
+
+        n_steps, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
+        total_ref = min(-(-nx // b), -(-ny // b))  # zip of ceil-batched datasets
+        mode = loop.gather_mode(max(nx, ny), fixed_order=False, n_devices=ndev)
+        # global reshuffles honoring --buffer-size (tf.data windowed shuffle,
+        # cycle_gan.py:140-150): the exact reference order at ndev == 1; at
+        # ndev > 1 the full steps draw per-device stripe permutations instead
+        # (buffer-size does not apply within stripes) and these feed the tail
+        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
+        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+        all_losses = []
+        if n_steps:
+            if ndev == 1:
+                perms = {"x": perm_x[: n_steps * b].reshape(n_steps, b).astype(np.int32),
+                         "y": perm_y[: n_steps * b].reshape(n_steps, b).astype(np.int32)}
             else:
-                x = normalize_batch(jnp.asarray(x_np[ix]), cfg.compute_dtype)
-                y = normalize_batch(jnp.asarray(y_np[iy]), cfg.compute_dtype)
-                l = self._rem_eval(self.params, self.opt_states, (x, y), k_step)
-            losses.append(l)
-        return np.stack([np.asarray(l) for l in losses])
+                perms = {"x": loop.local_perm(nx, ndev=ndev, n_steps=n_steps,
+                                              per_dev_batch=b_loc, rng=rng,
+                                              fixed_order=False),
+                         "y": loop.local_perm(ny, ndev=ndev, n_steps=n_steps,
+                                              per_dev_batch=b_loc, rng=rng,
+                                              fixed_order=False)}
+            fn = self._get_epoch_fn(training, mode)
+            if training:
+                self.params, self.opt_states, losses = fn(
+                    self.params, self.opt_states, caches_dev, perms, epoch_key)
+            else:
+                _, _, losses = fn(self.params, self.opt_states, caches_dev,
+                                  perms, epoch_key)
+            all_losses.append(np.asarray(losses))
+        if total_ref > n_steps:  # the shorter domain's partial final batch
+            bx = min(b, nx - n_steps * b)
+            by = min(b, ny - n_steps * b)
+            rows = (x_np[perm_x[n_steps * b: n_steps * b + bx]],
+                    y_np[perm_y[n_steps * b: n_steps * b + by]])
+            all_losses.append(self._run_remainder(rows, epoch_key, n_steps,
+                                                  training))
+        if not all_losses:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        return np.concatenate(all_losses, axis=0)
+
+    def _get_stream_fn(self, training: bool):
+        if training not in self._stream_fns:
+            prep = lambda u8, k: self._prep(u8, k, training)
+            if training:
+                axis = DATA_AXIS if self.mesh.size > 1 else None
+                step = lambda p, o, b, k: self._train_step(p, o, b, k, axis_name=axis)
+            else:
+                step = self._eval_step
+            self._stream_fns[training] = loop.make_sharded_step(
+                self.mesh, prep, step, training=training)
+        return self._stream_fns[training]
+
+    def _run_epoch_streaming(self, x, y, epoch_key, *, training: bool,
+                             rng: np.random.Generator):
+        """Host-streamed zip(X, Y) pass: sources are host uint8 arrays
+        (``--device-cache off``) or data.loader.FileCache objects (corpora
+        bigger than host RAM — batches decode from files in background
+        threads). Full batches shard over the mesh through the same psum'd
+        step as the cached path; the zip tail runs replicated."""
+        from gan_tpu.data.loader import iter_uint8_batches
+
+        cfg = self.config
+        b = cfg.batch_size
+        ndev = self.mesh.size
+        nx, ny = x.shape[0], y.shape[0]
+        if min(nx, ny) == 0:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
+        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+        n_total = min(-(-nx // b), -(-ny // b))
+        fn = self._get_stream_fn(training)
+        losses = []
+        pairs = zip(iter_uint8_batches(x, b, perm_x),
+                    iter_uint8_batches(y, b, perm_y))
+        for step, (u8x, u8y) in enumerate(pairs):
+            if step >= n_total:
+                break
+            if u8x.shape[0] == b and u8y.shape[0] == b and b % ndev == 0:
+                key = jax.random.fold_in(epoch_key, step)
+                ax = shard_batch(np.ascontiguousarray(u8x), self.mesh)
+                ay = shard_batch(np.ascontiguousarray(u8y), self.mesh)
+                if training:
+                    self.params, self.opt_states, l = fn(
+                        self.params, self.opt_states, (ax, ay), key)
+                else:
+                    l = fn(self.params, self.opt_states, (ax, ay), key)
+                losses.append(np.asarray(l).reshape(1, -1))
+            else:
+                losses.append(self._run_remainder((u8x, u8y), epoch_key, step,
+                                                  training))
+        if not losses:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        return np.concatenate(losses, axis=0)
 
     def _cache_fits(self, *caches) -> bool:
+        from gan_tpu.data.loader import FileCache, device_cache_fits
+        if any(isinstance(c, FileCache) for c in caches):
+            return False  # file-streamed corpora never land in HBM whole
         mode = self.config.device_cache
         if mode in ("on", "off"):
             return mode == "on"
-        from gan_tpu.data.loader import device_cache_fits
         return device_cache_fits(sum(c.nbytes for c in caches), self.mesh)
 
     # ---------------------------------------------------------------- public
@@ -325,11 +372,14 @@ class CycleGANTrainer:
                                                    jax.random.fold_in(ek, 0),
                                                    training=True, rng=rng)
                 else:
-                    tr = self._run_epoch(caches_train, len(train_x), len(train_y),
+                    tr = self._run_epoch(caches_train, train_x, train_y,
                                          jax.random.fold_in(ek, 0), training=True,
                                          rng=rng)
             jax.block_until_ready(self.params)
-            ips = perf.stop(tr.shape[0] * cfg.batch_size)
+            b = cfg.batch_size
+            # actual pairs consumed: the zip tail is partial, don't count it full
+            pairs = min(tr.shape[0] * b, len(train_x), len(train_y))
+            ips = perf.stop(pairs)
             if report_perf:
                 print(f"[perf] epoch {epoch + 1}: {ips:.1f} image-pairs/sec "
                       f"({ips / self.mesh.size:.1f}/chip)", flush=True)
@@ -339,7 +389,7 @@ class CycleGANTrainer:
                                                jax.random.fold_in(ek, 1),
                                                training=False, rng=rng)
             else:
-                va = self._run_epoch(caches_val, len(val_x), len(val_y),
+                va = self._run_epoch(caches_val, val_x, val_y,
                                      jax.random.fold_in(ek, 1), training=False,
                                      rng=rng)
             for i, k in enumerate(CYCLEGAN_LOSS_KEYS):
@@ -406,22 +456,30 @@ class CycleGANTrainer:
                                jax.random.fold_in(base, lo)), np.float32))
         return np.concatenate(outs, axis=0)
 
-    def predict(self, predict_cache: np.ndarray, output_path: str,
+    def predict(self, predict_cache, output_path: str,
                 raw: bool = False, raw_names=None) -> None:
         """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376).
-        Normalization is per image/chunk to bound host memory."""
-        from gan_tpu.train.pix2pix_trainer import _write_raw
+        ``predict_cache`` is a (N,S,S,C) uint8 array or a data.loader
+        FileCache; images are decoded/predicted/written in chunks so host
+        memory stays bounded at any corpus size."""
+        from gan_tpu.data.loader import iter_uint8_batches
+        from gan_tpu.train.pix2pix_trainer import _write_raw, raw_png_names
 
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
-        preds = self.generate_batched(predict_cache)
-        for i in range(predict_cache.shape[0]):
-            x = predict_cache[i].astype(np.float32) / 127.5 - 1.0
-            save_image_grid([x, preds[i]],
-                            os.path.join(plot_path, f"img{i}.png"),
-                            channels=self.config.channels)
-        if raw:
-            _write_raw(preds, output_path, raw_names)
+        n = predict_cache.shape[0]
+        png_names = raw_png_names(raw_names, n) if raw else None
+        off = 0
+        for batch in iter_uint8_batches(predict_cache, 64):
+            preds = self.generate_batched(batch)
+            for i in range(batch.shape[0]):
+                x = batch[i].astype(np.float32) / 127.5 - 1.0
+                save_image_grid([x, preds[i]],
+                                os.path.join(plot_path, f"img{off + i}.png"),
+                                channels=self.config.channels)
+            if raw:
+                _write_raw(preds, output_path, png_names[off:off + batch.shape[0]])
+            off += batch.shape[0]
 
     # ------------------------------------------------------------ state mgmt
     def state(self) -> dict:

@@ -6,11 +6,30 @@ SURVEY §3.1). Here an entire epoch — gather from the device-resident uint8
 cache, fused augment, G/D forward+backward, Adam updates — runs as ONE
 compiled program per epoch; losses come back as a single (n_steps, K) array.
 
-Data parallelism: the cache is sharded along its sample axis over the
-``data`` mesh axis, per-device index permutations are sharded along the batch
-axis, params/opt-states are replicated, and the step function psum-means its
-gradients — the SPMD layout from SURVEY §2.7/§5.8. A 1-device mesh reproduces
-the reference's single-device semantics exactly.
+Data parallelism: the cache is **striped** over the ``data`` mesh axis
+(original row ``i`` lands on device ``i % ndev`` at local index
+``i // ndev`` — :func:`put_cache`), per-device index permutations are sharded
+along the batch axis, params/opt-states are replicated, and the step function
+psum-means its gradients — the SPMD layout from SURVEY §2.7/§5.8. Striping
+makes a fixed-order global batch equal a *contiguous local slice* on every
+device, so DP batches have exactly the reference's single-device composition
+(global batch s = original rows [s·B, (s+1)·B)), and real rows spread evenly
+across devices (no all-padding shards). A 1-device mesh reproduces the
+reference's semantics bit-for-bit.
+
+Gather strategy (measured on v5e, whole scanned epochs — eager per-dispatch
+timings over the axon tunnel are meaningless and round 1's "4.1 s per
+jnp.take" figure was exactly that artifact):
+  * ``contig``  — 1.3 ms per 128-row step at 25.6k rows (dynamic slice).
+  * ``take``    — 2.5 ms per 128-row step at 25.6k rows; also *faster* than
+    the round-1 one-hot MXU gather at 4096 rows (308 vs 292 pairs/s end to
+    end), so the one-hot path was removed.
+The gathered rows pass through ``optimization_barrier`` so XLA's layout
+assignment cannot propagate the augment pipeline's preferred (C-major,
+HW-tiled) layout back through the gather to the cache parameter: without the
+barrier XLA materializes a full relayout *copy* of the cache inside the
+program (2.64 GB + 1.4× tile padding per 25.6k-row domain — OOM at reference
+scale); with it only the per-step batch is relaid (~5 MB).
 """
 
 from __future__ import annotations
@@ -25,6 +44,8 @@ from jax.sharding import PartitionSpec as P
 
 from gan_tpu.parallel.mesh import DATA_AXIS, batch_sharding
 
+LOSS_KEY_AXIS = None  # losses are (K,) vectors; kept for readability
+
 
 def make_cached_epoch(mesh, extract_fn: Callable, step_fn: Callable, *,
                       training: bool):
@@ -35,7 +56,8 @@ def make_cached_epoch(mesh, extract_fn: Callable, step_fn: Callable, *,
     step_fn(params, opt_states, batch, key) ->
         training: (params, opt_states, losses_vec)  [psum-mean grads inside]
         eval:     losses_vec
-    caches: pytree of (N_pad, ...) arrays sharded P('data') on axis 0.
+    caches: pytree of (N_pad, ...) arrays striped P('data') on axis 0
+        (see put_cache).
     perms:  matching pytree of (n_steps, B) int32 local indices, sharded
         P(None, 'data') on the batch axis.
     Returns (params, opt_states, losses (n_steps, K)).
@@ -72,98 +94,188 @@ def make_cached_epoch(mesh, extract_fn: Callable, step_fn: Callable, *,
     return jax.jit(sm, donate_argnums=donate)
 
 
-def fetch_rows(cache, idxs, mode: str):
-    """Gather ``idxs`` rows of the leading axis by the fastest strategy.
+def make_sharded_step(mesh, prep_fn: Callable, step_fn: Callable, *,
+                      training: bool):
+    """One jitted shard_map'd step over a uint8 batch sharded P('data') — the
+    streaming-path analog of :func:`make_cached_epoch` (host feeds batches,
+    device still does prep + psum'd DP step in one program).
 
-    ``jnp.take`` row-gather measured catastrophically slow on v5e (4.1 s for
-    128×163 KB uint8 rows vs 2 ms for either alternative), so:
+    prep_fn(u8_batch, key) -> batch pytree; step_fn as in make_cached_epoch.
+    The caller passes ``key = fold_in(epoch_key, step)``; the device index is
+    folded in here, so per-device RNG streams are IDENTICAL to the cached
+    epoch runner's — a streamed epoch reproduces a cached epoch bit-for-bit
+    when batch order matches."""
+
+    def one(params, opt_states, u8, key):
+        d_idx = jax.lax.axis_index(DATA_AXIS)
+        k_data, k_step = jax.random.split(jax.random.fold_in(key, d_idx))
+        batch = prep_fn(u8, k_data)
+        if training:
+            params, opt_states, losses = step_fn(params, opt_states, batch, k_step)
+        else:
+            losses = step_fn(params, opt_states, batch, k_step)
+        losses = jax.lax.pmean(losses, DATA_AXIS)
+        if training:
+            return params, opt_states, losses
+        return losses
+
+    sm = jax.shard_map(
+        one, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()) if training else P(),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def fetch_rows(cache, idxs, mode: str):
+    """Gather ``idxs`` rows of the leading axis.
+
     * ``contig`` — rows are consecutive ascending (fixed-order epochs):
       one dynamic slice starting at idxs[0].
-    * ``onehot`` — arbitrary rows via a one-hot selector matmul on the MXU;
-      exact for uint8 values (≤255 representable in bf16, one nonzero per
-      row). Reads the whole cache per call — only for small caches.
-    * ``take`` — plain gather fallback (arbitrary rows, any cache size).
-    Returns integer-valued rows (uint8 or bf16 — both feed the normalize /
-    crop stages identically)."""
+    * ``take``   — arbitrary rows via gather; ~2.5 ms per 128 rows at 25.6k
+      rows under lax.scan on v5e (see module docstring).
+    The result passes through an optimization barrier so the consumer's
+    preferred layout relays the gathered batch, never the whole cache."""
     if mode == "contig":
-        return jax.lax.dynamic_slice_in_dim(cache, idxs[0], idxs.shape[0], axis=0)
-    if mode == "onehot":
-        n = cache.shape[0]
-        sel = (idxs[:, None] == jnp.arange(n)[None, :]).astype(jnp.bfloat16)
-        flat = cache.reshape(n, -1).astype(jnp.bfloat16)
-        return (sel @ flat).reshape((idxs.shape[0],) + cache.shape[1:])
-    return jnp.take(cache, idxs, axis=0)
-
-
-# one-hot gather reads the whole cache per step; cap where that stays cheap
-ONEHOT_GATHER_MAX_ROWS = 4096
+        rows = jax.lax.dynamic_slice_in_dim(cache, idxs[0], idxs.shape[0], axis=0)
+    else:
+        rows = jnp.take(cache, idxs, axis=0)
+    return jax.lax.optimization_barrier(rows)
 
 
 def gather_mode(n_rows: int, *, fixed_order: bool, n_devices: int) -> str:
-    """Pick the fetch_rows strategy for an epoch (see fetch_rows)."""
-    if fixed_order and n_devices == 1:
-        return "contig"
-    if n_rows <= ONEHOT_GATHER_MAX_ROWS:
-        return "onehot"
-    return "take"
+    """Pick the fetch_rows strategy for an epoch: contiguous slices when the
+    per-device order is consecutive (fixed-order epochs at any mesh size —
+    local_perm emits arange there), plain gather otherwise. ``n_rows`` and
+    ``n_devices`` no longer matter (measured: take has no size cliff under
+    scan; the one-hot path lost to take even at 4096 rows and was removed)."""
+    return "contig" if fixed_order else "take"
+
+
+def stripe_order(n: int, ndev: int) -> np.ndarray:
+    """Row order that places original row ``i`` on device ``i % ndev`` at
+    local index ``i // ndev`` once block-sharded: device d's block is
+    ``[d, d+ndev, d+2·ndev, ...]``. Rows past n (shard padding) wrap to the
+    start of that device's stripe — real images, never indexed by the perms
+    from :func:`local_perm`."""
+    l = -(-max(n, 1) // ndev)
+    rows = np.arange(ndev)[:, None] + np.arange(l)[None, :] * ndev
+    return np.where(rows < max(n, 1), rows, rows % max(n, 1)).reshape(-1)
+
+
+def _preferred_cache_layout(ndim: int):
+    """Major-to-minor order the epoch programs want for uint8 image caches:
+    channel major-most, (H, W) minor (the einsum augment tiles H/W on the
+    MXU). Measured on v5e at 25.6k×286² rows: feeding this layout up front
+    removes a full in-program relayout copy of the cache (2.64 GB with 1.4×
+    tile padding per domain — a compile-time OOM at reference scale);
+    device_put's default compact layout triggers that copy."""
+    if ndim == 4:    # (N, H, W, C)
+        return (3, 0, 1, 2)
+    if ndim == 5:    # (N, 2, H, W, C) — paired pix2pix rows
+        return (4, 0, 1, 2, 3)
+    return None
 
 
 def put_cache(cache_np: np.ndarray, mesh) -> jax.Array:
-    """Device-put a host cache with its sample axis sharded over the mesh,
-    zero-padding N to a multiple of the mesh size (pad rows are never indexed
-    by the perms built in :func:`local_perm`)."""
-    n = cache_np.shape[0]
+    """Device-put a host cache striped over the mesh (see stripe_order).
+    At mesh size 1 this is the identity order.
+
+    On TPU the array is then relaid on device into the epoch program's
+    preferred layout (_preferred_cache_layout) via a donated identity jit —
+    host→device transfers directly into custom layouts crash the runtime, so
+    the transfer lands compact and the relayout happens in HBM (one ~ms copy
+    per epoch-cache). GAN_TPU_CACHE_LAYOUT=off disables it."""
+    import os
+
     ndev = mesh.size
-    n_pad = -(-max(n, 1) // ndev) * ndev
-    if n_pad != n:
-        pad = np.zeros((n_pad - n,) + cache_np.shape[1:], cache_np.dtype)
-        cache_np = np.concatenate([cache_np, pad], axis=0)
-    return jax.device_put(cache_np, batch_sharding(mesh))
+    n = cache_np.shape[0]
+    if ndev > 1:
+        if n == 0:
+            cache_np = np.zeros((ndev,) + cache_np.shape[1:], cache_np.dtype)
+        else:
+            cache_np = cache_np[stripe_order(n, ndev)]
+    arr = jax.device_put(cache_np, batch_sharding(mesh))
+    m2m = _preferred_cache_layout(cache_np.ndim)
+    if (m2m is not None and cache_np.dtype == np.uint8
+            and mesh.devices.flat[0].platform == "tpu"
+            and os.environ.get("GAN_TPU_CACHE_LAYOUT") != "off"):
+        from jax.experimental.layout import Format, Layout
+        fmt = Format(Layout(major_to_minor=m2m), batch_sharding(mesh))
+        arr = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=0)(arr)
+    return arr
 
 
 def local_perm(n: int, *, ndev: int, n_steps: int, per_dev_batch: int,
                rng: np.random.Generator | None, fixed_order: bool) -> np.ndarray:
-    """(n_steps, ndev * per_dev_batch) int32 of *local* cache indices.
+    """(n_steps, ndev * per_dev_batch) int32 of *local* cache indices for a
+    striped cache (put_cache).
 
-    Column block d (width per_dev_batch) indexes device d's local shard.
-    Device d owns global rows [d*L, (d+1)*L) of the padded cache; only its
-    ``real_d`` real rows are ever drawn. Orders are cycled when a device
-    needs more samples than it owns (only possible at ndev > 1 — the
-    reference is single-device so parity is exact at ndev == 1).
-
-    fixed_order=True reproduces Pix2Pix's fixed epoch order (the train list
-    is shuffled once at split time and never reshuffled — pix2pix.py:147 has
-    no per-epoch dataset shuffle); False draws a fresh permutation (CycleGAN's
+    Column block d (width per_dev_batch) indexes device d's stripe. Because
+    stripes interleave original rows, fixed_order=True (arange everywhere)
+    makes global step s draw exactly original rows [s·B, (s+1)·B) — the
+    reference's fixed epoch order (pix2pix.py:147 shuffles once at split
+    time, never per epoch) at ANY mesh size. fixed_order=False draws a fresh
+    per-device permutation of that device's real rows (CycleGAN's
     reshuffle_each_iteration=True, cycle_gan.py:140-150).
+
+    epoch_plan guarantees n_steps·per_dev_batch ≤ floor(n/ndev) ≤ every
+    device's real-row count, so wrap-padding rows are never drawn.
     """
-    l = -(-max(n, 1) // ndev)
     need = n_steps * per_dev_batch
     cols = []
     for d in range(ndev):
-        real = min(max(n - d * l, 1), l)
-        order = np.arange(real) if fixed_order else rng.permutation(real)
-        reps = -(-need // real)
-        if not fixed_order and reps > 1:
-            order = np.concatenate([rng.permutation(real) for _ in range(reps)])
+        real = n // ndev + (1 if d < n % ndev else 0)
+        assert need <= max(real, 1), (
+            f"need {need} rows from a {real}-row stripe (n={n}, ndev={ndev})")
+        if fixed_order:
+            order = np.arange(need)
         else:
-            order = np.tile(order, reps)
-        cols.append(order[:need].reshape(n_steps, per_dev_batch))
+            order = rng.permutation(max(real, 1))[:need]
+        cols.append(order.reshape(n_steps, per_dev_batch))
     return np.concatenate(cols, axis=1).astype(np.int32)
+
+
+def epoch_perm(n: int, buffer_size: int, rng: np.random.Generator) -> np.ndarray:
+    """Epoch-order permutation honoring ``--buffer-size``: tf.data's windowed
+    shuffle (cycle_gan.py:140-150 ``shuffle(buffer_size,
+    reshuffle_each_iteration=True)``) — a buffer of ``buffer_size`` elements
+    is kept, each output drawn uniformly from it and replaced by the next
+    stream element. At buffer_size ≥ n (the 99999 default exceeds the
+    reference dataset) this IS a full uniform permutation and the fast path
+    is taken."""
+    if buffer_size >= n:
+        return rng.permutation(n)
+    buf = np.arange(min(buffer_size, n))
+    out = np.empty(n, np.int64)
+    nxt = len(buf)
+    end = len(buf)
+    for i in range(n):
+        j = int(rng.integers(0, end))
+        out[i] = buf[j]
+        if nxt < n:
+            buf[j] = nxt
+            nxt += 1
+        else:
+            end -= 1
+            buf[j] = buf[end]
+    return out
 
 
 def epoch_plan(n: int, batch_size: int, ndev: int) -> tuple[int, int, int]:
     """(n_steps, per_dev_batch, remainder).
 
-    ndev == 1: n_steps = n // batch_size full batches plus a ``remainder``
-    partial batch, matching tf.data's non-drop batching (pix2pix.py:156).
-    ndev > 1: remainder is dropped (DP throughput mode) and batch_size must
-    divide by ndev.
+    n_steps full global batches run inside the sharded epoch program; the
+    ``remainder`` partial batch (tf.data batches without dropping —
+    pix2pix.py:156) runs as one replicated step outside it, at every mesh
+    size — so DP covers every sample and small val sets still yield finite
+    metrics.
     """
-    if ndev == 1:
-        return n // batch_size, batch_size, n % batch_size
-    assert batch_size % ndev == 0, (
-        f"global batch {batch_size} must divide across {ndev} devices")
-    return n // batch_size, batch_size // ndev, 0
+    if ndev > 1:
+        assert batch_size % ndev == 0, (
+            f"global batch {batch_size} must divide across {ndev} devices")
+    return n // batch_size, batch_size // ndev, n % batch_size
 
 
 def losses_to_dict(losses_np: np.ndarray, keys) -> dict:

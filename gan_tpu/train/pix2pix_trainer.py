@@ -37,16 +37,33 @@ from gan_tpu.data.augment import normalize_batch, paired_jitter_batch
 from gan_tpu.losses import (PIX2PIX_LOSS_KEYS, discriminator_loss, empty_losses,
                             pix2pix_generator_loss, sg_tree)
 from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
-from gan_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated_sharding
+from gan_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated_sharding,
+                                   shard_batch)
 from gan_tpu.train import loop
 from gan_tpu.train.checkpoint import CheckpointManager
 from gan_tpu.train.optim import adam
 from gan_tpu.utils.grids import save_image_grid
 
 
-def _write_raw(preds: np.ndarray, output_path: str, names=None) -> None:
+def raw_png_names(names, count: int) -> list[str]:
+    """Unique .png names for the raw predictions: source stems, with a
+    counter suffix when two sources differ only by extension (img.jpg and
+    img.png both pass list_images' substring filter and would otherwise
+    silently overwrite each other)."""
+    if names is None:
+        return [f"img{i}.png" for i in range(count)]
+    out, seen = [], {}
+    for n in names:
+        stem = os.path.splitext(os.path.basename(n))[0]
+        k = seen.get(stem, 0)
+        seen[stem] = k + 1
+        out.append((stem if k == 0 else f"{stem}__{k}") + ".png")
+    return out
+
+
+def _write_raw(preds: np.ndarray, output_path: str, png_names) -> None:
     """Write bare generated images (fp32 [-1,1] → uint8 PNGs) to
-    prediction_images_raw/, named by source stem when names are given."""
+    prediction_images_raw/ under the given (pre-deduplicated) names."""
     from PIL import Image
 
     raw_path = os.path.join(output_path, "prediction_images_raw")
@@ -54,11 +71,7 @@ def _write_raw(preds: np.ndarray, output_path: str, names=None) -> None:
     u8 = np.clip((preds + 1.0) * 127.5, 0, 255).astype(np.uint8)
     for i in range(u8.shape[0]):
         arr = u8[i, :, :, 0] if u8.shape[-1] == 1 else u8[i]
-        if names is not None:
-            name = os.path.splitext(os.path.basename(names[i]))[0] + ".png"
-        else:
-            name = f"img{i}.png"
-        Image.fromarray(arr).save(os.path.join(raw_path, name))
+        Image.fromarray(arr).save(os.path.join(raw_path, png_names[i]))
 
 
 def generator_depth(img_size: int) -> int:
@@ -106,11 +119,13 @@ class Pix2PixTrainer:
         self._bn_axis = DATA_AXIS if (config.bn_cross_replica == "true"
                                       and self.mesh.size > 1) else None
         self._epoch_fns: dict = {}
+        self._stream_fns: dict = {}
         self._sample_fn = None
         self._batch_fn = None
-        # persistent jit wrappers so the per-epoch remainder batch compiles once
-        self._rem_train = jax.jit(lambda p, o, b, k: self._train_step(p, o, b, k))
-        self._rem_eval = jax.jit(self._eval_step)
+        # persistent jit wrappers for the per-epoch remainder batch (prep +
+        # step in one program, replicated over the mesh — runs at any size)
+        self._rem_train = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, True))
+        self._rem_eval = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, False))
 
     @staticmethod
     def _auto_devices(config: Pix2PixConfig) -> int:
@@ -121,28 +136,33 @@ class Pix2PixTrainer:
         return n
 
     # ------------------------------------------------------------------ math
-    def _losses(self, params, x, y, drop_rng):
+    def _losses(self, params, x, y, drop_rng, bn_axis=None):
+        """``bn_axis``: mesh axis for cross-replica BN stats — set only inside
+        the shard_map'd epoch/step programs; replicated steps (remainder) pass
+        None, where per-device stats ARE the full-batch stats."""
         cfg = self.config
         dtype = cfg.compute_dtype
         fake = self.gen.apply(params["gen"], x, rng=drop_rng,
-                              compute_dtype=dtype, bn_axis_name=self._bn_axis)
+                              compute_dtype=dtype, bn_axis_name=bn_axis)
         # generator view: disc params stop-gradiented
         d_gen_logits = self.disc.apply(sg_tree(params["disc"]), x, fake,
-                                       compute_dtype=dtype, bn_axis_name=self._bn_axis)
+                                       compute_dtype=dtype, bn_axis_name=bn_axis)
         gen_total, gen_gan, gen_sec = pix2pix_generator_loss(
             d_gen_logits, fake, y, lam=float(cfg.lam), kind=cfg.generator_loss)
         # discriminator view: fake stop-gradiented
         d_real_logits = self.disc.apply(params["disc"], x, y,
-                                        compute_dtype=dtype, bn_axis_name=self._bn_axis)
+                                        compute_dtype=dtype, bn_axis_name=bn_axis)
         d_fake_logits = self.disc.apply(params["disc"], x, jax.lax.stop_gradient(fake),
-                                        compute_dtype=dtype, bn_axis_name=self._bn_axis)
+                                        compute_dtype=dtype, bn_axis_name=bn_axis)
         disc = discriminator_loss(d_real_logits, d_fake_logits, 0.5)
         combined = gen_total + disc
         return combined, jnp.stack([gen_total, gen_gan, gen_sec, disc])
 
-    def _train_step(self, params, opt_states, batch, key, *, axis_name=None):
+    def _train_step(self, params, opt_states, batch, key, *, axis_name=None,
+                    bn_axis=None):
         x, y = batch
-        grads, losses = jax.grad(self._losses, has_aux=True)(params, x, y, key)
+        grads, losses = jax.grad(self._losses, has_aux=True)(
+            params, x, y, key, bn_axis)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         up_g, os_g = self.tx_gen.update(grads["gen"], opt_states["gen"], params["gen"])
@@ -151,48 +171,84 @@ class Pix2PixTrainer:
                   "disc": jax.tree_util.tree_map(lambda p, u: p + u, params["disc"], up_d)}
         return params, {"gen": os_g, "disc": os_d}, losses
 
-    def _eval_step(self, params, opt_states, batch, key):
+    def _eval_step(self, params, opt_states, batch, key, *, bn_axis=None):
         x, y = batch
-        _, losses = self._losses(params, x, y, key)
+        _, losses = self._losses(params, x, y, key, bn_axis)
         return losses
 
     # --------------------------------------------------------------- extract
+    def _prep(self, batch_u8, key, training: bool):
+        """uint8 rows → model batch: fused jitter (train) or normalize (eval)."""
+        if training:
+            return paired_jitter_batch(batch_u8, key,
+                                       img_size=self.config.img_size,
+                                       dtype=self.config.compute_dtype)
+        pair = normalize_batch(batch_u8, self.config.compute_dtype)
+        return pair[:, 0], pair[:, 1]
+
+    def _rem_step(self, params, opt_states, batch_u8, key, training: bool):
+        k_data, k_step = jax.random.split(key)
+        batch = self._prep(batch_u8, k_data, training)
+        if training:
+            return self._train_step(params, opt_states, batch, k_step)
+        return self._eval_step(params, opt_states, batch, k_step)
+
     def _extract_train(self, cache, idxs, key, mode: str = "take"):
-        pair = loop.fetch_rows(cache, idxs, mode)
-        return paired_jitter_batch(pair, key, img_size=self.config.img_size,
-                                   dtype=self.config.compute_dtype)
+        return self._prep(loop.fetch_rows(cache, idxs, mode), key, True)
 
     def _extract_eval(self, cache, idxs, key, mode: str = "take"):
-        pair = normalize_batch(loop.fetch_rows(cache, idxs, mode),
-                               self.config.compute_dtype)
-        return pair[:, 0], pair[:, 1]
+        return self._prep(loop.fetch_rows(cache, idxs, mode), key, False)
 
     # ----------------------------------------------------------------- epoch
     def _get_epoch_fn(self, training: bool, mode: str):
         cache_key = (training, mode)
         if cache_key not in self._epoch_fns:
             axis = DATA_AXIS if self.mesh.size > 1 else None
+            bn = self._bn_axis
             if training:
                 extract = lambda c, i, k: self._extract_train(c, i, k, mode)
-                step = lambda p, o, b, k: self._train_step(p, o, b, k, axis_name=axis)
+                step = lambda p, o, b, k: self._train_step(p, o, b, k,
+                                                           axis_name=axis,
+                                                           bn_axis=bn)
                 fn = loop.make_cached_epoch(self.mesh, extract, step,
                                             training=True)
             else:
                 extract = lambda c, i, k: self._extract_eval(c, i, k, mode)
-                fn = loop.make_cached_epoch(self.mesh, extract,
-                                            self._eval_step, training=False)
+                step = lambda p, o, b, k: self._eval_step(p, o, b, k, bn_axis=bn)
+                fn = loop.make_cached_epoch(self.mesh, extract, step,
+                                            training=False)
             self._epoch_fns[cache_key] = fn
         return self._epoch_fns[cache_key]
 
-    def _run_epoch(self, cache_dev, cache_len: int, epoch_key, *, training: bool,
+    def _run_remainder(self, rows_u8: np.ndarray, epoch_key, n_steps: int,
+                       training: bool):
+        """One replicated step over the partial final batch (tf.data batches
+        without dropping, pix2pix.py:156) — runs at ANY mesh size, so DP
+        covers every sample and val sets smaller than the global batch still
+        produce finite metrics. RNG continues the epoch runner's stream
+        (step index = n_steps, device stream 0)."""
+        arr = jax.device_put(np.ascontiguousarray(rows_u8),
+                             replicated_sharding(self.mesh))
+        key = jax.random.fold_in(jax.random.fold_in(epoch_key, n_steps), 0)
+        if training:
+            self.params, self.opt_states, losses = self._rem_train(
+                self.params, self.opt_states, arr, key)
+        else:
+            losses = self._rem_eval(self.params, self.opt_states, arr, key)
+        return np.asarray(losses)[None]
+
+    def _run_epoch(self, cache_dev, cache, epoch_key, *, training: bool,
                    fixed_order: bool, rng: np.random.Generator):
-        """One dataset pass. Returns (n_steps+maybe 1, 4) per-step losses."""
+        """One dataset pass over the device-resident cache; ``cache`` is the
+        host uint8 array (remainder rows are fed from it). Returns
+        (n_steps + maybe 1, 4) per-step losses."""
         ndev = self.mesh.size
-        n_steps, b_loc, rem = loop.epoch_plan(cache_len, self.config.batch_size, ndev)
-        mode = loop.gather_mode(cache_len, fixed_order=fixed_order, n_devices=ndev)
+        n = cache.shape[0]
+        n_steps, b_loc, rem = loop.epoch_plan(n, self.config.batch_size, ndev)
+        mode = loop.gather_mode(n, fixed_order=fixed_order, n_devices=ndev)
         all_losses = []
         if n_steps > 0:
-            perm = loop.local_perm(cache_len, ndev=ndev, n_steps=n_steps,
+            perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps,
                                    per_dev_batch=b_loc, rng=rng,
                                    fixed_order=fixed_order)
             fn = self._get_epoch_fn(training, mode)
@@ -204,54 +260,65 @@ class Pix2PixTrainer:
                                   epoch_key)
             all_losses.append(np.asarray(losses))
         if rem:
-            # final partial batch (tf.data batches without dropping — pix2pix.py:156)
-            idxs = jnp.arange(cache_len - rem, cache_len)
-            key = jax.random.fold_in(epoch_key, n_steps)
-            k_data, k_step = jax.random.split(jax.random.fold_in(key, 0))
-            batch = (self._extract_train if training else self._extract_eval)(
-                cache_dev, idxs, k_data, "contig")
-            if training:
-                self.params, self.opt_states, losses = self._rem_train(
-                    self.params, self.opt_states, batch, k_step)
-            else:
-                losses = self._rem_eval(self.params, self.opt_states, batch, k_step)
-            all_losses.append(np.asarray(losses)[None])
+            all_losses.append(self._run_remainder(cache[n - rem:], epoch_key,
+                                                  n_steps, training))
         if not all_losses:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
         return np.concatenate(all_losses, axis=0)
 
-    def _run_epoch_streaming(self, cache_np: np.ndarray, epoch_key, *,
-                             training: bool):
-        """Host-streamed fallback when the cache must not live in HBM
-        (``--device-cache off`` or auto-detected too large): per-batch jitted
-        steps with async dispatch; losses fetched once at epoch end."""
-        b = self.config.batch_size
-        n = cache_np.shape[0]
-        losses = []
-        for step, lo in enumerate(range(0, n, b)):
-            batch_u8 = jnp.asarray(cache_np[lo:lo + b])
-            k = jax.random.fold_in(epoch_key, step)
-            k_data, k_step = jax.random.split(jax.random.fold_in(k, 0))
+    def _get_stream_fn(self, training: bool):
+        if training not in self._stream_fns:
+            prep = lambda u8, k: self._prep(u8, k, training)
+            axis = DATA_AXIS if self.mesh.size > 1 else None
+            bn = self._bn_axis
             if training:
-                x, y = paired_jitter_batch(batch_u8, k_data,
-                                           img_size=self.config.img_size,
-                                           dtype=self.config.compute_dtype)
-                self.params, self.opt_states, l = self._rem_train(
-                    self.params, self.opt_states, (x, y), k_step)
+                step = lambda p, o, b, k: self._train_step(p, o, b, k,
+                                                           axis_name=axis,
+                                                           bn_axis=bn)
             else:
-                pair = normalize_batch(batch_u8, self.config.compute_dtype)
-                l = self._rem_eval(self.params, self.opt_states,
-                                   (pair[:, 0], pair[:, 1]), k_step)
-            losses.append(l)
+                step = lambda p, o, b, k: self._eval_step(p, o, b, k, bn_axis=bn)
+            self._stream_fns[training] = loop.make_sharded_step(
+                self.mesh, prep, step, training=training)
+        return self._stream_fns[training]
+
+    def _run_epoch_streaming(self, cache, epoch_key, *, training: bool):
+        """Host-streamed epoch: batches come from host RAM
+        (``--device-cache off`` / cache too big for HBM) or straight from
+        files (a data.loader.FileCache — corpora bigger than host RAM,
+        replacing tf.data's disk streaming, pix2pix.py:155-163). Full batches
+        are sharded over the mesh and stepped through the same psum'd DP step
+        as the cached path (identical RNG streams — see make_sharded_step);
+        the partial tail batch runs replicated."""
+        from gan_tpu.data.loader import iter_uint8_batches
+
+        b = self.config.batch_size
+        ndev = self.mesh.size
+        fn = self._get_stream_fn(training)
+        losses = []
+        for step, batch_u8 in enumerate(iter_uint8_batches(cache, b)):
+            if batch_u8.shape[0] == b and batch_u8.shape[0] % ndev == 0:
+                key = jax.random.fold_in(epoch_key, step)
+                arr = shard_batch(np.ascontiguousarray(batch_u8), self.mesh)
+                if training:
+                    self.params, self.opt_states, l = fn(
+                        self.params, self.opt_states, arr, key)
+                else:
+                    l = fn(self.params, self.opt_states, arr, key)
+                losses.append(l)
+            else:
+                losses.append(self._run_remainder(batch_u8, epoch_key, step,
+                                                  training))
         if not losses:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
-        return np.stack([np.asarray(l) for l in losses])
+        return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
 
     def _cache_fits(self, *caches) -> bool:
+        from gan_tpu.data.loader import FileCache, device_cache_fits
+        if any(isinstance(c, FileCache) for c in caches):
+            return False  # file-streamed corpora never land in HBM whole
         mode = self.config.device_cache
         if mode in ("on", "off"):
             return mode == "on"
-        from gan_tpu.data.loader import device_cache_fits
         return device_cache_fits(sum(c.nbytes for c in caches), self.mesh)
 
     # ---------------------------------------------------------------- public
@@ -259,9 +326,11 @@ class Pix2PixTrainer:
             test_cache: np.ndarray, output_path: str,
             checkpoint_manager: Optional[CheckpointManager] = None,
             start_epoch: int = 0):
-        """Epoch loop — ref pix2pix.py:248-323. Caches are the uint8 arrays
-        from gan_tpu.data.pipeline (train: (N,2,S+30,S+30,C); val/test:
-        (N,2,S,S,C)). Returns (train_cost_functions, val_cost_functions)."""
+        """Epoch loop — ref pix2pix.py:248-323. train/val caches are uint8
+        arrays from gan_tpu.data.pipeline (train: (N,2,S+30,S+30,C); val:
+        (N,2,S,S,C)) or data.loader.FileCache for bigger-than-RAM corpora
+        (always host-streamed); test_cache is always a small ndarray.
+        Returns (train_cost_functions, val_cost_functions)."""
         cfg = self.config
         print("\nTraining...\n", flush=True)
 
@@ -296,7 +365,7 @@ class Pix2PixTrainer:
                                                    jax.random.fold_in(ek, 0),
                                                    training=True)
                 else:
-                    tr = self._run_epoch(train_dev, n_train,
+                    tr = self._run_epoch(train_dev, train_cache,
                                          jax.random.fold_in(ek, 0),
                                          training=True, fixed_order=True, rng=rng)
             jax.block_until_ready(self.params)
@@ -310,7 +379,7 @@ class Pix2PixTrainer:
                                                jax.random.fold_in(ek, 1),
                                                training=False)
             else:
-                va = self._run_epoch(val_dev, n_val, jax.random.fold_in(ek, 1),
+                va = self._run_epoch(val_dev, val_cache, jax.random.fold_in(ek, 1),
                                      training=False, fixed_order=True, rng=rng)
             for i, k in enumerate(PIX2PIX_LOSS_KEYS):
                 train_cost_functions[k].append(float(tr[:, i].mean()) if len(tr) else float("nan"))
@@ -383,25 +452,37 @@ class Pix2PixTrainer:
                                    np.float32))
         return np.concatenate(outs, axis=0)
 
-    def predict(self, predict_cache: np.ndarray, output_path: str,
+    def predict(self, predict_cache, output_path: str,
                 raw: bool = False, raw_names=None) -> None:
         """prediction_images/img{N}.png per image (pix2pix.py:325-339); with
         ``raw`` also writes the bare generated PNGs (TPU extension for
         downstream pipelines, e.g. the MERGEN YOLOv5 handoff), named after
         their source files when ``raw_names`` is given so downstream pairing
-        survives arbitrary listing order."""
+        survives arbitrary listing order.
+
+        ``predict_cache`` is a (N,2,S,S,C) uint8 array or a
+        data.loader.FileCache; either way images are decoded, normalized,
+        predicted, and written in CHUNKS, so host memory stays bounded at any
+        corpus size (the reference holds only one image at a time,
+        pix2pix.py:337, but re-decodes per image; we chunk for batched device
+        inference)."""
+        from gan_tpu.data.loader import iter_uint8_batches
+
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
-        # normalize lazily per image/chunk — materializing the whole predict
-        # set in fp32 would need ~15 GB host RAM at reference scale (28k imgs)
-        preds = self.generate_batched(predict_cache[:, 0])
-        for i in range(predict_cache.shape[0]):
-            pair = predict_cache[i].astype(np.float32) / 127.5 - 1.0
-            save_image_grid([pair[0], pair[1], preds[i]],
-                            os.path.join(plot_path, f"img{i}.png"),
-                            channels=self.config.channels)
-        if raw:
-            _write_raw(preds, output_path, raw_names)
+        n = predict_cache.shape[0]
+        png_names = raw_png_names(raw_names, n) if raw else None
+        off = 0
+        for batch in iter_uint8_batches(predict_cache, 64):
+            preds = self.generate_batched(batch[:, 0])
+            for i in range(batch.shape[0]):
+                pair = batch[i].astype(np.float32) / 127.5 - 1.0
+                save_image_grid([pair[0], pair[1], preds[i]],
+                                os.path.join(plot_path, f"img{off + i}.png"),
+                                channels=self.config.channels)
+            if raw:
+                _write_raw(preds, output_path, png_names[off:off + batch.shape[0]])
+            off += batch.shape[0]
 
     # ------------------------------------------------------------ state mgmt
     def state(self) -> dict:

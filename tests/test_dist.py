@@ -42,7 +42,8 @@ def test_dp_step_matches_single_device(cpu_devices):
 
     t8 = Pix2PixTrainer(_cfg(8, "true"), mesh=make_mesh(8, devices=cpu_devices))
     def _dp_step(p, o, bx, by, k):
-        p, o, losses = t8._train_step(p, o, (bx, by), k, axis_name=DATA_AXIS)
+        p, o, losses = t8._train_step(p, o, (bx, by), k, axis_name=DATA_AXIS,
+                                      bn_axis=DATA_AXIS)
         return p, o, jax.lax.pmean(losses, DATA_AXIS)
 
     step8 = jax.shard_map(
@@ -66,29 +67,94 @@ def test_dp_step_matches_single_device(cpu_devices):
         p1, p8)
 
 
-def test_put_cache_pads_and_shards(cpu_devices):
+def test_put_cache_stripes_and_pads(cpu_devices):
+    """Original row i lands on device i % ndev at local index i // ndev;
+    padding rows wrap onto that device's own stripe (real images only)."""
     mesh = make_mesh(8, devices=cpu_devices)
     cache = np.arange(10 * 4, dtype=np.uint8).reshape(10, 4)
     dev = loop.put_cache(cache, mesh)
     assert dev.shape == (16, 4)  # padded to multiple of 8
-    np.testing.assert_array_equal(np.asarray(dev)[:10], cache)
+    host = np.asarray(dev)
+    l = 2
+    for d in range(8):
+        shard = host[d * l:(d + 1) * l]
+        for j in range(l):
+            src = d + j * 8
+            expect = cache[src if src < 10 else src % 10]
+            np.testing.assert_array_equal(shard[j], expect)
 
 
-def test_local_perm_stays_in_local_range():
+def test_local_perm_fixed_order_reconstructs_global_batches():
+    """fixed_order perms on a striped cache draw exactly original rows
+    [s·B, (s+1)·B) at global step s — the reference's batch composition."""
+    n, ndev, B = 21, 4, 8
+    n_steps, b_loc, rem = loop.epoch_plan(n, B, ndev)
+    assert (n_steps, b_loc, rem) == (2, 2, 5)
+    perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc,
+                           rng=None, fixed_order=True)
+    stripe = loop.stripe_order(n, ndev)
+    l = len(stripe) // ndev
+    for s in range(n_steps):
+        rows = sorted(stripe[d * l + j]
+                      for d in range(ndev)
+                      for j in perm[s, d * b_loc:(d + 1) * b_loc])
+        assert rows == list(range(s * B, (s + 1) * B))
+
+
+def test_local_perm_shuffled_stays_real():
+    """Shuffled perms never index a wrap-padding row."""
     rng = np.random.default_rng(0)
     n, ndev, n_steps, b_loc = 21, 8, 2, 1
     perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc,
                            rng=rng, fixed_order=False)
     assert perm.shape == (n_steps, ndev * b_loc)
-    l = -(-n // ndev)  # 3 rows per device
     for d in range(ndev):
-        real = min(max(n - d * l, 1), l)
+        real = n // ndev + (1 if d < n % ndev else 0)
         block = perm[:, d * b_loc:(d + 1) * b_loc]
-        assert block.min() >= 0 and block.max() < real
+        assert block.min() >= 0 and block.max() < max(real, 1)
+        # no duplicates within the epoch: every drawn row is distinct
+        assert len(np.unique(block)) == block.size
 
 
 def test_epoch_plan():
     assert loop.epoch_plan(10, 4, 1) == (2, 4, 2)
     assert loop.epoch_plan(16, 8, 8) == (2, 1, 0)
+    assert loop.epoch_plan(21, 8, 8) == (2, 1, 5)  # DP keeps the remainder now
     with pytest.raises(AssertionError):
         loop.epoch_plan(16, 6, 4)
+
+
+def test_dp_eval_epoch_matches_single_device_exactly(cpu_devices):
+    """Striping makes a fixed-order DP eval epoch (incl. the replicated
+    remainder step) reproduce the single-device epoch's per-batch losses:
+    same global batch composition per step, cross-replica BN stats. (Eval has
+    no augment, so per-device RNG streams don't enter; train-step DP
+    equivalence is covered by test_dp_step_matches_single_device.)"""
+    rng_data = np.random.default_rng(42)
+    n = 21  # 2 full batches of 8 + remainder 5
+    cache = rng_data.integers(0, 255, (n, 2, 32, 32, 1), np.uint8)
+
+    def run(ndev, bn):
+        t = Pix2PixTrainer(_cfg(ndev, bn), mesh=make_mesh(ndev, devices=cpu_devices))
+        dev = loop.put_cache(cache, t.mesh)
+        return t._run_epoch(dev, cache, jax.random.PRNGKey(7), training=False,
+                            fixed_order=True, rng=np.random.default_rng(0))
+
+    l1 = run(1, "false")
+    l8 = run(8, "true")
+    assert l1.shape == l8.shape == (3, 4)
+    assert np.all(np.isfinite(l8))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_val_smaller_than_global_batch_is_finite(cpu_devices):
+    """A val set smaller than the global batch used to yield zero steps and
+    NaN metrics at ndev > 1 (round-1 VERDICT); now the remainder path
+    evaluates it replicated."""
+    t = Pix2PixTrainer(_cfg(8, "false"), mesh=make_mesh(8, devices=cpu_devices))
+    val = np.random.default_rng(0).integers(0, 255, (3, 2, 32, 32, 1), np.uint8)
+    dev = loop.put_cache(val, t.mesh)
+    losses = t._run_epoch(dev, val, jax.random.PRNGKey(0), training=False,
+                          fixed_order=True, rng=np.random.default_rng(0))
+    assert losses.shape == (1, 4)
+    assert np.all(np.isfinite(losses))

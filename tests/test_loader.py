@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from gan_tpu.data.loader import StreamingLoader, device_cache_fits
+from gan_tpu.data.loader import (FileCache, StreamingLoader, device_cache_fits,
+                                 host_cache_fits, iter_uint8_batches)
 
 
 def test_streaming_loader_batches(tmp_path):
@@ -46,6 +47,88 @@ def test_device_cache_fits_cpu_fallback():
     mesh = make_mesh(1, devices=jax.devices("cpu")[:1])
     assert device_cache_fits(1 << 20, mesh)          # 1 MB fits
     assert not device_cache_fits(1 << 45, mesh)      # 32 TB doesn't
+
+
+def test_file_cache_facade(tmp_path):
+    """FileCache mimics the ndarray cache interface and streams the same
+    bytes the eager pipeline would produce."""
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(7):
+        p = str(tmp_path / f"im_{i}.png")
+        Image.fromarray(np.full((8, 8), i * 3, np.uint8), "L").save(p)
+        paths.append(p)
+
+    def pre(path):
+        from gan_tpu.data.decode import decode_image
+        return decode_image(path, 1)
+
+    fc = FileCache(paths, pre, sample_shape=(8, 8, 1), batch_size=3)
+    assert fc.shape == (7, 8, 8, 1) and len(fc) == 7
+    assert fc.nbytes == 7 * 8 * 8
+    batches = list(fc.epoch())
+    assert [b.shape[0] for b in batches] == [3, 3, 1]
+    np.testing.assert_array_equal(fc.rows([2, 5])[:, 0, 0, 0], [6, 15])
+    fc.close()
+
+
+def test_iter_uint8_batches_matches_for_array_and_filecache(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (10, 4, 4, 1), np.uint8)
+    paths = []
+    for i in range(10):
+        p = str(tmp_path / f"b_{i}.png")
+        Image.fromarray(arr[i, :, :, 0], "L").save(p)
+        paths.append(p)
+
+    def pre(path):
+        from gan_tpu.data.decode import decode_image
+        return decode_image(path, 1)
+
+    fc = FileCache(paths, pre, sample_shape=(4, 4, 1), batch_size=4)
+    order = np.random.default_rng(2).permutation(10)
+    a_batches = list(iter_uint8_batches(arr, 4, order))
+    f_batches = list(iter_uint8_batches(fc, 4, order))
+    assert len(a_batches) == len(f_batches) == 3
+    for a, f in zip(a_batches, f_batches):
+        np.testing.assert_array_equal(a, f)
+    fc.close()
+
+
+def test_host_cache_fits():
+    assert host_cache_fits(1 << 20, "auto")
+    assert host_cache_fits(1 << 50, "on")       # forced on
+    assert not host_cache_fits(1, "off")        # forced off
+    assert not host_cache_fits(1 << 50, "auto")  # 1 PB never fits
+
+
+def test_epoch_perm_windowed_shuffle():
+    """buffer >= n → full permutation; small buffers keep elements within
+    ~buffer of their source position (tf.data windowed-shuffle property)."""
+    from gan_tpu.train.loop import epoch_perm
+
+    rng = np.random.default_rng(0)
+    full = epoch_perm(100, 99999, rng)
+    assert sorted(full.tolist()) == list(range(100))
+
+    rng = np.random.default_rng(0)
+    win = epoch_perm(1000, 10, rng)
+    assert sorted(win.tolist()) == list(range(1000))
+    # element i can appear no earlier than position i - buffer + 1
+    pos = np.empty(1000, np.int64)
+    pos[win] = np.arange(1000)
+    assert np.all(pos >= np.arange(1000) - 9)
+    # but it's not the identity either (actually shuffled)
+    assert not np.array_equal(win, np.arange(1000))
+
+
+def test_raw_png_names_dedup():
+    from gan_tpu.train.pix2pix_trainer import raw_png_names
+
+    names = ["a/img.jpg", "b/img.png", "other.png"]
+    out = raw_png_names(names, 3)
+    assert out == ["img.png", "img__1.png", "other.png"]
+    assert raw_png_names(None, 2) == ["img0.png", "img1.png"]
 
 
 def test_eval_quality_self_similarity(tmp_path):
