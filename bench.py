@@ -55,14 +55,14 @@ def main() -> None:
     host_rng = np.random.default_rng(0)
 
     # warmup (compile)
-    trainer._run_epoch(cache_dev, n_imgs, key, training=True, fixed_order=True,
+    trainer._run_epoch(cache_dev, cache, key, training=True, fixed_order=True,
                        rng=host_rng)
     jax.block_until_ready(trainer.params)
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for r in range(reps):
-        trainer._run_epoch(cache_dev, n_imgs, jax.random.fold_in(key, r),
+        trainer._run_epoch(cache_dev, cache, jax.random.fold_in(key, r),
                            training=True, fixed_order=True, rng=host_rng)
     jax.block_until_ready(trainer.params)
     dt = time.perf_counter() - t0

@@ -45,11 +45,11 @@ def run(model: str, img_size: int, per_dev_batch: int, steps: int = 32,
                             dtype="bf16", num_devices=n_dev)
         cfg.validate()
         trainer = Pix2PixTrainer(cfg, mesh=mesh)
-        cache = loop.put_cache(
-            rng.integers(0, 255, (n_imgs, 2, src, src, 1), np.uint8), mesh)
+        cache_np = rng.integers(0, 255, (n_imgs, 2, src, src, 1), np.uint8)
+        cache = loop.put_cache(cache_np, mesh)
 
         def epoch(i):
-            trainer._run_epoch(cache, n_imgs, jax.random.fold_in(key, i),
+            trainer._run_epoch(cache, cache_np, jax.random.fold_in(key, i),
                                training=True, fixed_order=True, rng=host_rng)
     else:
         from gan_tpu.config import CycleGANConfig
@@ -59,15 +59,13 @@ def run(model: str, img_size: int, per_dev_batch: int, steps: int = 32,
                              dtype="bf16", num_devices=n_dev)
         cfg.validate()
         trainer = CycleGANTrainer(cfg, mesh=mesh)
-        caches = {
-            "x": loop.put_cache(
-                rng.integers(0, 255, (n_imgs, src, src, 1), np.uint8), mesh),
-            "y": loop.put_cache(
-                rng.integers(0, 255, (n_imgs, src, src, 1), np.uint8), mesh),
-        }
+        x_np = rng.integers(0, 255, (n_imgs, src, src, 1), np.uint8)
+        y_np = rng.integers(0, 255, (n_imgs, src, src, 1), np.uint8)
+        caches = {"x": loop.put_cache(x_np, mesh),
+                  "y": loop.put_cache(y_np, mesh)}
 
         def epoch(i):
-            trainer._run_epoch(caches, n_imgs, n_imgs, jax.random.fold_in(key, i),
+            trainer._run_epoch(caches, x_np, y_np, jax.random.fold_in(key, i),
                                training=True, rng=host_rng)
 
     epoch(0)  # compile

@@ -41,17 +41,33 @@ def host_cache_fits(nbytes: int, mode: str = "auto", *,
     return nbytes <= fraction * host_ram_available()
 
 
+# Empirical per-device ceiling for TOTAL resident cache bytes (tile-padded):
+# on the v5e/axon stack, epoch programs with >= ~4.4 GB of cache arguments
+# crash the TPU worker outright (bracketed: 3.54 GB total always runs at full
+# speed, 4.43 GB+ always faults — independent of batch size, chunking, and
+# layout). Stay well below; bigger corpora fall back to host streaming.
+# Override with GAN_TPU_DEVICE_CACHE_MAX (bytes).
+DEVICE_CACHE_SAFE_BYTES = 3_500_000_000
+
+
 def device_cache_fits(nbytes: int, mesh, *, fraction: float = 0.4) -> bool:
-    """True when a cache of ``nbytes`` (sharded over the mesh) fits within
-    ``fraction`` of per-device memory. Falls back to a 12 GB estimate when the
-    backend doesn't report limits (CPU)."""
+    """True when a cache of ``nbytes`` tile-padded bytes (sharded over the
+    mesh) fits within ``fraction`` of per-device memory AND under the
+    empirical runtime-fault ceiling (DEVICE_CACHE_SAFE_BYTES). Falls back to
+    a 12 GB limit estimate when the backend doesn't report one (CPU)."""
+    import os
+
     per_dev = nbytes / max(1, mesh.size)
     dev = mesh.devices.flat[0]
     try:
         limit = dev.memory_stats()["bytes_limit"]
     except Exception:
         limit = 12 << 30
-    return per_dev <= fraction * limit
+    safe = int(os.environ.get("GAN_TPU_DEVICE_CACHE_MAX",
+                              DEVICE_CACHE_SAFE_BYTES))
+    if dev.platform != "tpu":
+        safe = fraction * limit  # the fault is TPU-stack-specific
+    return per_dev <= min(fraction * limit, safe)
 
 
 class StreamingLoader:

@@ -135,13 +135,29 @@ def fetch_rows(cache, idxs, mode: str):
       one dynamic slice starting at idxs[0].
     * ``take``   — arbitrary rows via gather; ~2.5 ms per 128 rows at 25.6k
       rows under lax.scan on v5e (see module docstring).
-    The result passes through an optimization barrier so the consumer's
-    preferred layout relays the gathered batch, never the whole cache."""
+
+    ``cache`` may be a TUPLE of equal-length chunks (put_cache splits caches
+    whose tile-padded image layout would exceed ~2 GiB per buffer — larger
+    single buffers crash the TPU runtime, bracketed empirically at
+    1.77 GB ok / 2.21 GB crash ⇒ the int32-bytes boundary). Local row i
+    lives in chunk i // lk at offset i % lk; every chunk is gathered at the
+    batch's offsets (a few ms each) and the right rows selected — exact, and
+    cheap next to a train step."""
+    if isinstance(cache, (tuple, list)):
+        lk = cache[0].shape[0]
+        cid = idxs // lk
+        sub = idxs % lk
+        rows = jnp.take(cache[0], sub, axis=0)
+        sel_shape = (-1,) + (1,) * (rows.ndim - 1)
+        for k in range(1, len(cache)):
+            rows = jnp.where((cid == k).reshape(sel_shape),
+                             jnp.take(cache[k], sub, axis=0), rows)
+        return rows
     if mode == "contig":
         rows = jax.lax.dynamic_slice_in_dim(cache, idxs[0], idxs.shape[0], axis=0)
     else:
         rows = jnp.take(cache, idxs, axis=0)
-    return jax.lax.optimization_barrier(rows)
+    return rows
 
 
 def gather_mode(n_rows: int, *, fixed_order: bool, n_devices: int) -> str:
@@ -178,15 +194,56 @@ def _preferred_cache_layout(ndim: int):
     return None
 
 
-def put_cache(cache_np: np.ndarray, mesh) -> jax.Array:
-    """Device-put a host cache striped over the mesh (see stripe_order).
-    At mesh size 1 this is the identity order.
+# per-device buffers at/above the int32-bytes boundary crash the TPU runtime
+# (bracketed on v5e: 1.77 GB tile-padded ok, 2.21 GB worker crash); chunk
+# caches so every buffer stays safely below it
+CHUNK_LIMIT_BYTES = 1_600_000_000
 
-    On TPU the array is then relaid on device into the epoch program's
-    preferred layout (_preferred_cache_layout) via a donated identity jit —
-    host→device transfers directly into custom layouts crash the runtime, so
-    the transfer lands compact and the relayout happens in HBM (one ~ms copy
-    per epoch-cache). GAN_TPU_CACHE_LAYOUT=off disables it."""
+
+def padded_cache_nbytes(shape) -> int:
+    """Tile-padded size of a uint8 image cache under the preferred layout:
+    the (8, 128) tile on the two minor (H, W) dims rounds them up. (Slight
+    overestimate vs the observed allocator numbers — fine for thresholds.)"""
+    if len(shape) == 4:
+        h, w = shape[1], shape[2]
+    elif len(shape) == 5:
+        h, w = shape[2], shape[3]
+    else:
+        return int(np.prod(shape))
+    other = int(np.prod(shape)) // max(1, h * w)
+    return other * (-(-h // 8) * 8) * (-(-w // 128) * 128)
+
+
+def _chunk_local(arr: np.ndarray, ndev: int, n_chunks: int) -> list[np.ndarray]:
+    """Split a striped (ndev·l, ...) cache into n_chunks caches of local-row
+    ranges: chunk k holds every device's local rows [k·lk, (k+1)·lk), laid
+    out block-per-device so each chunk shards P('data') like the original.
+    Short tails pad with wrap rows from the same shard (never indexed —
+    local_perm draws < the real row count)."""
+    l = arr.shape[0] // ndev
+    lk = -(-l // n_chunks)
+    shards = arr.reshape(ndev, l, *arr.shape[1:])
+    chunks = []
+    for k in range(n_chunks):
+        part = shards[:, k * lk:(k + 1) * lk]
+        if part.shape[1] < lk:
+            part = np.concatenate([part, shards[:, :lk - part.shape[1]]], axis=1)
+        chunks.append(np.ascontiguousarray(part.reshape(ndev * lk, *arr.shape[1:])))
+    return chunks
+
+
+def put_cache(cache_np: np.ndarray, mesh):
+    """Device-put a host cache striped over the mesh (see stripe_order); at
+    mesh size 1 the striping is the identity order.
+
+    Returns one array, or a tuple of equal-shape chunk arrays when a single
+    per-device buffer would exceed CHUNK_LIMIT_BYTES tile-padded (runtime
+    crash boundary — see fetch_rows). On TPU every buffer is then relaid on
+    device into the epoch program's preferred layout
+    (_preferred_cache_layout) via a donated identity jit — host→device
+    transfers directly into custom layouts crash the runtime, so the
+    transfer lands compact and the relayout happens in HBM (one ~ms copy per
+    cache per run). GAN_TPU_CACHE_LAYOUT=off disables the relayout."""
     import os
 
     ndev = mesh.size
@@ -196,15 +253,29 @@ def put_cache(cache_np: np.ndarray, mesh) -> jax.Array:
             cache_np = np.zeros((ndev,) + cache_np.shape[1:], cache_np.dtype)
         else:
             cache_np = cache_np[stripe_order(n, ndev)]
-    arr = jax.device_put(cache_np, batch_sharding(mesh))
+
+    l = max(1, cache_np.shape[0] // ndev)
+    per_shard = padded_cache_nbytes((l,) + cache_np.shape[1:])
+    n_chunks = max(1, -(-per_shard // CHUNK_LIMIT_BYTES))
+    parts = ([cache_np] if n_chunks == 1
+             else _chunk_local(cache_np, ndev, n_chunks))
+
+    relayout = None
     m2m = _preferred_cache_layout(cache_np.ndim)
     if (m2m is not None and cache_np.dtype == np.uint8
             and mesh.devices.flat[0].platform == "tpu"
             and os.environ.get("GAN_TPU_CACHE_LAYOUT") != "off"):
         from jax.experimental.layout import Format, Layout
         fmt = Format(Layout(major_to_minor=m2m), batch_sharding(mesh))
-        arr = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=0)(arr)
-    return arr
+        relayout = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=0)
+
+    out = []
+    for p in parts:
+        arr = jax.device_put(p, batch_sharding(mesh))
+        if relayout is not None:
+            arr = relayout(arr)
+        out.append(arr)
+    return out[0] if n_chunks == 1 else tuple(out)
 
 
 def local_perm(n: int, *, ndev: int, n_steps: int, per_dev_batch: int,

@@ -319,7 +319,8 @@ class Pix2PixTrainer:
         mode = self.config.device_cache
         if mode in ("on", "off"):
             return mode == "on"
-        return device_cache_fits(sum(c.nbytes for c in caches), self.mesh)
+        padded = sum(loop.padded_cache_nbytes(c.shape) for c in caches)
+        return device_cache_fits(padded, self.mesh)
 
     # ---------------------------------------------------------------- public
     def fit(self, train_cache: np.ndarray, val_cache: np.ndarray,

@@ -147,6 +147,57 @@ def test_dp_eval_epoch_matches_single_device_exactly(cpu_devices):
     np.testing.assert_allclose(l1, l8, rtol=1e-5, atol=1e-6)
 
 
+def test_put_cache_chunks_and_fetch_exact(cpu_devices, monkeypatch):
+    """Forcing a tiny chunk limit splits the cache into sub-buffers; chunked
+    fetch_rows must return exactly the same rows as the single-buffer path
+    for arbitrary local indices, at 1 and 8 devices."""
+    rng = np.random.default_rng(0)
+    cache = rng.integers(0, 255, (24, 6, 130, 1), np.uint8)  # 4D image cache
+    for ndev in (1, 8):
+        mesh = make_mesh(ndev, devices=cpu_devices)
+        whole = loop.put_cache(cache, mesh)
+        monkeypatch.setattr(loop, "CHUNK_LIMIT_BYTES", 5_000)
+        chunked = loop.put_cache(cache, mesh)
+        monkeypatch.setattr(loop, "CHUNK_LIMIT_BYTES", 1_600_000_000)
+        assert isinstance(chunked, tuple) and len(chunked) > 1
+        l = whole.shape[0] // ndev
+        assert sum(c.shape[0] for c in chunked) >= whole.shape[0]
+        # compare shard-local gathers on one device's worth of rows
+        host_whole = np.asarray(whole).reshape(ndev, l, *cache.shape[1:])
+        lk = chunked[0].shape[0] // ndev
+        host_chunks = [np.asarray(c).reshape(ndev, lk, *cache.shape[1:])
+                       for c in chunked]
+        real = cache.shape[0] // ndev
+        idxs = np.random.default_rng(1).integers(0, max(real, 1), 5)
+        for d in range(ndev):
+            want = host_whole[d][idxs]
+            got = np.stack([host_chunks[int(i // lk)][d][int(i % lk)]
+                            for i in idxs])
+            np.testing.assert_array_equal(got, want)
+        # and the jitted chunked fetch matches (single-device local view)
+        local_chunks = tuple(jnp.asarray(hc[0]) for hc in host_chunks)
+        got = np.asarray(loop.fetch_rows(local_chunks, jnp.asarray(idxs), "take"))
+        np.testing.assert_array_equal(got, host_whole[0][idxs])
+
+
+def test_epoch_on_chunked_cache_matches_whole(cpu_devices, monkeypatch):
+    """A full eval epoch over a chunked cache produces identical losses to
+    the single-buffer cache."""
+    cache = np.random.default_rng(9).integers(0, 255, (12, 2, 32, 32, 1),
+                                              np.uint8)
+    t = Pix2PixTrainer(_cfg(1, "false"), mesh=make_mesh(1, devices=cpu_devices))
+    dev = loop.put_cache(cache, t.mesh)
+    l_whole = t._run_epoch(dev, cache, jax.random.PRNGKey(3), training=False,
+                           fixed_order=True, rng=np.random.default_rng(0))
+    monkeypatch.setattr(loop, "CHUNK_LIMIT_BYTES", 10_000)
+    t2 = Pix2PixTrainer(_cfg(1, "false"), mesh=make_mesh(1, devices=cpu_devices))
+    dev2 = loop.put_cache(cache, t2.mesh)
+    assert isinstance(dev2, tuple) and len(dev2) > 1
+    l_chunk = t2._run_epoch(dev2, cache, jax.random.PRNGKey(3), training=False,
+                            fixed_order=True, rng=np.random.default_rng(0))
+    np.testing.assert_allclose(l_whole, l_chunk, rtol=1e-6, atol=1e-7)
+
+
 def test_dp_val_smaller_than_global_batch_is_finite(cpu_devices):
     """A val set smaller than the global batch used to yield zero steps and
     NaN metrics at ndev > 1 (round-1 VERDICT); now the remainder path
