@@ -24,15 +24,18 @@ from PIL import Image, ImageFilter
 
 
 def make_corpus(root: str, n: int, size: int = 286, seed: int = 0) -> None:
-    """Unpaired domains with a learnable cross-domain relationship:
-    X = smooth random blob fields, Y = inverted blob fields (different
-    samples — unpaired)."""
+    """Unpaired domains with a learnable, non-trivial cross-domain
+    relationship: X = dark-biased smooth blob fields, Y = inverted fields of
+    (different) dark-biased blobs, i.e. bright-biased. The brightness
+    asymmetry makes the domains distinguishable, so identity is NOT a valid
+    generator solution (a symmetric-noise corpus would make inverted ≡
+    original in distribution and the GAN rightly learns identity)."""
     rng = np.random.default_rng(seed)
     for dom, invert in (("X", False), ("Y", True)):
         d = os.path.join(root, dom)
         os.makedirs(d, exist_ok=True)
         for i in range(n):
-            noise = rng.normal(128, 80, (size // 8, size // 8))
+            noise = rng.normal(95, 55, (size // 8, size // 8))
             img = Image.fromarray(np.clip(noise, 0, 255).astype(np.uint8), "L")
             img = img.resize((size, size), Image.BILINEAR)
             img = img.filter(ImageFilter.GaussianBlur(3))
