@@ -89,12 +89,80 @@ def test_pix2pix_fused_backward_matches_per_tape(p2p_trainer):
 def test_cyclegan_fused_backward_matches_per_tape():
     """All four gradient sets from the combined scalar match the reference's
     persistent-tape per-loss gradients (cycle_gan.py:250-262), including the
-    cycle loss feeding both generators."""
+    cycle loss feeding both generators. The per-tape oracle here uses the
+    SAME batched-pass forwards (and keys) as the trainer so dropout draws
+    line up; batched ≡ unbatched primals are covered separately below."""
     cfg = CycleGANConfig(input_images="x", output="y", img_size=32, batch_size=1,
                          train=True, epochs=1, dtype="fp32", num_devices=1)
     cfg.validate()
     t = CycleGANTrainer(cfg)
     key = jax.random.PRNGKey(1)
+    kx, ky, kd = jax.random.split(key, 3)
+    x = jax.random.uniform(kx, (1, 32, 32, 1), minval=-1, maxval=1)
+    y = jax.random.uniform(ky, (1, 32, 32, 1), minval=-1, maxval=1)
+    lam = float(cfg.lam)
+
+    fused = jax.grad(t._losses, has_aux=True)(t.params, x, y, kd)[0]
+
+    k1, k2, k3 = jax.random.split(kd, 3)
+    P = t.params
+
+    def forwards(gp, fp):
+        def G(p, imgs, k):
+            out = t.gen.apply(p, jnp.concatenate(imgs, axis=0), rng=k,
+                              compute_dtype=jnp.float32)
+            parts, lo = [], 0
+            for im in imgs:
+                parts.append(out[lo:lo + im.shape[0]])
+                lo += im.shape[0]
+            return parts
+
+        fake_y, same_y = G(gp, (x, y), k1)
+        cycled_x, fake_x, same_x = G(fp, (fake_y, y, x), k2)
+        (cycled_y,) = G(gp, (fake_x,), k3)
+        return fake_y, cycled_x, fake_x, cycled_y, same_x, same_y
+
+    D = lambda p, i: t.disc.apply(p, i, compute_dtype=jnp.float32)
+
+    def total_gen_g(gp):
+        fake_y, cycled_x, fake_x, cycled_y, _, same_y = forwards(gp, P["gen_f"])
+        adv = L.generator_adversarial_loss(D(P["disc_y"], fake_y))
+        cyc = L.cycle_loss(x, cycled_x, lam) + L.cycle_loss(y, cycled_y, lam)
+        return adv + cyc + L.identity_loss(y, same_y, lam)
+
+    def total_gen_f(fp):
+        fake_y, cycled_x, fake_x, cycled_y, same_x, _ = forwards(P["gen_g"], fp)
+        adv = L.generator_adversarial_loss(D(P["disc_x"], fake_x))
+        cyc = L.cycle_loss(x, cycled_x, lam) + L.cycle_loss(y, cycled_y, lam)
+        return adv + cyc + L.identity_loss(x, same_x, lam)
+
+    def disc_x_loss(dxp):
+        _, _, fake_x, _, _, _ = forwards(P["gen_g"], P["gen_f"])
+        return L.discriminator_loss(D(dxp, x), D(dxp, fake_x), 0.5)
+
+    def disc_y_loss(dyp):
+        fake_y = forwards(P["gen_g"], P["gen_f"])[0]
+        return L.discriminator_loss(D(dyp, y), D(dyp, fake_y), 0.5)
+
+    refs = {"gen_g": jax.grad(total_gen_g)(P["gen_g"]),
+            "gen_f": jax.grad(total_gen_f)(P["gen_f"]),
+            "disc_x": jax.grad(disc_x_loss)(P["disc_x"]),
+            "disc_y": jax.grad(disc_y_loss)(P["disc_y"])}
+    for name, ref in refs.items():
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+            fused[name], ref)
+
+
+def test_cyclegan_unbatched_fused_backward_matches_per_tape():
+    """Same property for the large-batch (per-application) forward
+    structure, forced via BATCHED_PASS_MAX."""
+    cfg = CycleGANConfig(input_images="x", output="y", img_size=32, batch_size=1,
+                         train=True, epochs=1, dtype="fp32", num_devices=1)
+    cfg.validate()
+    t = CycleGANTrainer(cfg)
+    t.BATCHED_PASS_MAX = -1  # instance attr shadows the class constant
+    key = jax.random.PRNGKey(2)
     kx, ky, kd = jax.random.split(key, 3)
     x = jax.random.uniform(kx, (1, 32, 32, 1), minval=-1, maxval=1)
     y = jax.random.uniform(ky, (1, 32, 32, 1), minval=-1, maxval=1)
@@ -130,7 +198,7 @@ def test_cyclegan_fused_backward_matches_per_tape():
         return adv + cyc + L.identity_loss(x, same_x, lam)
 
     def disc_x_loss(dxp):
-        _, _, fake_x, _, _, _ = forwards(P["gen_g"], P["gen_f"])
+        fake_x = forwards(P["gen_g"], P["gen_f"])[2]
         return L.discriminator_loss(D(dxp, x), D(dxp, fake_x), 0.5)
 
     def disc_y_loss(dyp):
@@ -145,6 +213,48 @@ def test_cyclegan_fused_backward_matches_per_tape():
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
             fused[name], ref)
+
+
+def test_cyclegan_batched_passes_match_unbatched_primals(monkeypatch):
+    """With dropout disabled (the only per-call RNG), the three batched
+    U-Net passes produce exactly the reference's six per-image forwards —
+    instance norm is per-sample, so concatenation cannot couple samples."""
+    import gan_tpu.models.blocks as blocks
+    monkeypatch.setattr(blocks, "DROP_RATE", 0.0)
+
+    cfg = CycleGANConfig(input_images="x", output="y", img_size=32, batch_size=2,
+                         train=True, epochs=1, dtype="fp32", num_devices=1)
+    cfg.validate()
+    t = CycleGANTrainer(cfg)
+    key = jax.random.PRNGKey(5)
+    kx, ky, kd = jax.random.split(key, 3)
+    x = jax.random.uniform(kx, (2, 32, 32, 1), minval=-1, maxval=1)
+    y = jax.random.uniform(ky, (2, 32, 32, 1), minval=-1, maxval=1)
+    lam = float(cfg.lam)
+    P = t.params
+
+    _, losses = t._losses(P, x, y, kd)
+
+    # reference-structured unbatched forwards (keys irrelevant at rate 0)
+    G = lambda p, i: t.gen.apply(p, i, rng=kd, compute_dtype=jnp.float32)
+    D = lambda p, i: t.disc.apply(p, i, compute_dtype=jnp.float32)
+    fake_y = G(P["gen_g"], x)
+    cycled_x = G(P["gen_f"], fake_y)
+    fake_x = G(P["gen_f"], y)
+    cycled_y = G(P["gen_g"], fake_x)
+    same_x = G(P["gen_f"], x)
+    same_y = G(P["gen_g"], y)
+    adv_g = L.generator_adversarial_loss(D(P["disc_y"], fake_y))
+    adv_f = L.generator_adversarial_loss(D(P["disc_x"], fake_x))
+    cyc = L.cycle_loss(x, cycled_x, lam) + L.cycle_loss(y, cycled_y, lam)
+    want = np.array([
+        adv_g, adv_f, cyc,
+        adv_g + cyc + L.identity_loss(y, same_y, lam),
+        adv_f + cyc + L.identity_loss(x, same_x, lam),
+        L.discriminator_loss(D(P["disc_x"], x), D(P["disc_x"], fake_x), 0.5),
+        L.discriminator_loss(D(P["disc_y"], y), D(P["disc_y"], fake_y), 0.5),
+    ])
+    np.testing.assert_allclose(np.asarray(losses), want, rtol=1e-5, atol=1e-6)
 
 
 def test_pix2pix_ssim_mode_trains(p2p_trainer):
