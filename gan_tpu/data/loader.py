@@ -145,6 +145,7 @@ class FileCache:
                  workers: int = 16):
         self._loader = StreamingLoader(paths, preprocess, batch_size,
                                        prefetch=prefetch, workers=workers)
+        self.batch_size = batch_size
         self.shape = (len(paths),) + tuple(sample_shape)
         self.dtype = np.uint8
         self.nbytes = int(np.prod(self.shape))
@@ -163,10 +164,74 @@ class FileCache:
         self._loader.close()
 
 
+_DONE = object()
+
+
+def prefetch_iter(it, depth: int = 2):
+    """Drain ``it`` in a background thread, ``depth`` items ahead of the
+    consumer — the host→device double-buffer for streamed epochs: the
+    producer assembles the NEXT batch (slice/decode, stripe reorder,
+    ``device_put`` — all GIL-releasing numpy/transfer work) while the main
+    thread dispatches the current train step, so host input work overlaps
+    device compute instead of serializing with it (the role tf.data's
+    ``prefetch(AUTOTUNE)`` plays in the reference, pix2pix.py:155-163).
+    Exceptions in the producer re-raise at the consumer. ``depth=0`` (or
+    GAN_TPU_PREFETCH_DEPTH=0) degrades to synchronous passthrough — the
+    measurement baseline for the prefetch gain."""
+    import os
+
+    depth = int(os.environ.get("GAN_TPU_PREFETCH_DEPTH", depth))
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_DONE)
+        except BaseException as e:
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def _rebatch(batches, batch_size: int):
+    """Re-chunk a stream of (b, ...) arrays into (batch_size, ...) batches
+    (last one partial). Holds at most one source batch plus one output batch
+    in flight — host memory stays bounded."""
+    pending = None
+    for b in batches:
+        b = b if pending is None else np.concatenate([pending, b])
+        pending = None
+        lo = 0
+        while b.shape[0] - lo >= batch_size:
+            yield b[lo:lo + batch_size]
+            lo += batch_size
+        if lo < b.shape[0]:
+            pending = b[lo:]
+    if pending is not None and pending.shape[0]:
+        yield pending
+
+
 def iter_uint8_batches(cache, batch_size: int, order: np.ndarray | None = None):
-    """Uniform batch iterator over an ndarray cache or a FileCache."""
+    """Uniform batch iterator over an ndarray cache or a FileCache; always
+    yields ``batch_size`` rows per batch (last one partial) — FileCache
+    output is re-chunked when its construction-time batch size differs (e.g.
+    predict()'s 64-image chunks over a train-batch-sized loader)."""
     if isinstance(cache, FileCache):
-        yield from cache.epoch(order)
+        it = cache.epoch(order)
+        if batch_size != cache.batch_size:
+            it = _rebatch(it, batch_size)
+        yield from it
         return
     idx = np.arange(cache.shape[0]) if order is None else np.asarray(order)
     for lo in range(0, len(idx), batch_size):

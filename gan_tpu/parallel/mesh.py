@@ -22,10 +22,22 @@ def default_devices():
 
     ``GAN_TPU_PLATFORM`` (e.g. ``cpu``) overrides the JAX default — needed
     because TPU platform plugins may register regardless of ``JAX_PLATFORMS``,
-    and tests must run on the virtual 8-device CPU backend (SURVEY §4)."""
+    and tests must run on the virtual 8-device CPU backend (SURVEY §4).
+
+    When the override is set, ``jax_default_device`` is pinned to the chosen
+    platform too, so un-sharded array creation (param init, PRNG keys, jit
+    without shardings) lands there instead of on the registered TPU plugin's
+    default device. Without the pin every such array is created on the TPU
+    and then tunneled cross-platform — on the axon tunnel a single 4×4
+    transfer was measured at 39 s (predict-mode init with hundreds of param
+    leaves appears to hang)."""
     platform = os.environ.get("GAN_TPU_PLATFORM")
     if platform:
-        return jax.devices(platform)
+        devs = jax.devices(platform)
+        if jax.config.jax_default_device is None or \
+                jax.config.jax_default_device.platform != devs[0].platform:
+            jax.config.update("jax_default_device", devs[0])
+        return devs
     return jax.devices()
 
 
@@ -94,6 +106,51 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(arr, sharding, *, global_rows: int | None = None):
+    """Place a host array under ``sharding``, correctly at any process count.
+
+    Single-controller: plain ``jax.device_put``. Multi-controller (a real
+    ``jax.distributed`` pod, SURVEY §5.8): ``device_put`` onto a sharding
+    with non-addressable devices throws, so the global array is assembled
+    with ``jax.make_array_from_process_local_data``:
+
+      * ``global_rows=None`` — ``arr`` is the FULL global array, identical on
+        every process (deterministic decode of a shared file list); each
+        process contributes the rows its devices own.
+      * ``global_rows=N`` — ``arr`` holds only THIS process's rows of a
+        leading-axis-sharded global array of N rows (per-process file
+        sharding via :func:`process_stripe_rows`), in global shard order.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+
+    def one(a):
+        a = np.ascontiguousarray(a)
+        gs = a.shape if global_rows is None else (global_rows,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, a, gs)
+
+    return jax.tree_util.tree_map(one, arr)
+
+
+def process_stripe_rows(n: int, mesh: Mesh, *,
+                        process_index: int | None = None) -> np.ndarray:
+    """ORIGINAL row indices this process must load for a striped cache
+    (train/loop.py put_cache: row i → device i % ndev), in the order its
+    devices' blocks expect — incl. the wrap-padding rows. Pod-scale data
+    loading: each host decodes only ``process_stripe_rows(n, mesh)`` of the
+    shared file list and passes the result to put_cache(process_local=True);
+    nothing else ever materializes the whole corpus on one host."""
+    if process_index is None:
+        process_index = jax.process_index()
+    ndev = mesh.size
+    l = -(-max(n, 1) // ndev)
+    local = [d for d in range(ndev)
+             if mesh.devices.flat[d].process_index == process_index]
+    rows = np.asarray(local)[:, None] + np.arange(l)[None, :] * ndev
+    return np.where(rows < max(n, 1), rows, rows % max(n, 1)).reshape(-1)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host array with its leading axis sharded over the mesh."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host array with its leading axis sharded over the mesh; the
+    full batch is expected on every process (see put_global)."""
+    return put_global(batch, batch_sharding(mesh))

@@ -39,8 +39,8 @@ from gan_tpu.losses import (CYCLEGAN_LOSS_KEYS, cycle_loss, discriminator_loss,
                             empty_losses, generator_adversarial_loss,
                             identity_loss, sg_tree)
 from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
-from gan_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated_sharding,
-                                   shard_batch)
+from gan_tpu.parallel.mesh import (DATA_AXIS, make_mesh, put_global,
+                                   replicated_sharding, shard_batch)
 from gan_tpu.train import loop
 from gan_tpu.train.checkpoint import CheckpointManager
 from gan_tpu.train.optim import adam
@@ -66,8 +66,8 @@ class CycleGANTrainer:
                   "disc_x": self.disc.init(kx, c), "disc_y": self.disc.init(ky, c)}
         opt_states = {k: self.tx.init(params[k]) for k in params}
         rep = replicated_sharding(self.mesh)
-        self.params = jax.device_put(params, rep)
-        self.opt_states = jax.device_put(opt_states, rep)
+        self.params = put_global(params, rep)
+        self.opt_states = put_global(opt_states, rep)
 
         self._epoch_fns: dict = {}
         self._stream_fns: dict = {}
@@ -273,7 +273,7 @@ class CycleGANTrainer:
         cycle_gan.py:297). Runs at any mesh size; X/Y tail sizes may differ
         (loss reductions are means, as in the reference)."""
         rep = replicated_sharding(self.mesh)
-        arr = tuple(jax.device_put(np.ascontiguousarray(r), rep)
+        arr = tuple(put_global(np.ascontiguousarray(r), rep)
                     for r in rows_pair)
         key = jax.random.fold_in(jax.random.fold_in(epoch_key, n_steps), 0)
         if training:
@@ -298,24 +298,28 @@ class CycleGANTrainer:
         n_steps, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
         total_ref = min(-(-nx // b), -(-ny // b))  # zip of ceil-batched datasets
         mode = loop.gather_mode(max(nx, ny), fixed_order=False, n_devices=ndev)
-        # global reshuffles honoring --buffer-size (tf.data windowed shuffle,
-        # cycle_gan.py:140-150): the exact reference order at ndev == 1; at
-        # ndev > 1 the full steps draw per-device stripe permutations instead
-        # (buffer-size does not apply within stripes) and these feed the tail
-        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
-        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+        # per-epoch reshuffles honoring --buffer-size (tf.data windowed
+        # shuffle, cycle_gan.py:140-150): ndev == 1 draws the exact reference
+        # global order; ndev > 1 draws per-device stripe permutations (windowed
+        # per stripe) with the zip tail fed from the rows the full steps did
+        # not draw — each epoch visits each row at most once (exactly once for
+        # the shorter domain), matching the reference's exactly-once pass
+        if ndev == 1:
+            perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
+            perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+            perms = {"x": perm_x[: n_steps * b].reshape(n_steps, b).astype(np.int32),
+                     "y": perm_y[: n_steps * b].reshape(n_steps, b).astype(np.int32)}
+            left_x, left_y = perm_x[n_steps * b:], perm_y[n_steps * b:]
+        else:
+            perms_x, left_x = loop.shuffled_stripe_perm(
+                nx, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc,
+                buffer_size=cfg.buffer_size, rng=rng)
+            perms_y, left_y = loop.shuffled_stripe_perm(
+                ny, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc,
+                buffer_size=cfg.buffer_size, rng=rng)
+            perms = {"x": perms_x, "y": perms_y}
         all_losses = []
         if n_steps:
-            if ndev == 1:
-                perms = {"x": perm_x[: n_steps * b].reshape(n_steps, b).astype(np.int32),
-                         "y": perm_y[: n_steps * b].reshape(n_steps, b).astype(np.int32)}
-            else:
-                perms = {"x": loop.local_perm(nx, ndev=ndev, n_steps=n_steps,
-                                              per_dev_batch=b_loc, rng=rng,
-                                              fixed_order=False),
-                         "y": loop.local_perm(ny, ndev=ndev, n_steps=n_steps,
-                                              per_dev_batch=b_loc, rng=rng,
-                                              fixed_order=False)}
             fn = self._get_epoch_fn(training, mode)
             if training:
                 self.params, self.opt_states, losses = fn(
@@ -327,8 +331,7 @@ class CycleGANTrainer:
         if total_ref > n_steps:  # the shorter domain's partial final batch
             bx = min(b, nx - n_steps * b)
             by = min(b, ny - n_steps * b)
-            rows = (x_np[perm_x[n_steps * b: n_steps * b + bx]],
-                    y_np[perm_y[n_steps * b: n_steps * b + by]])
+            rows = (x_np[left_x[:bx]], y_np[left_y[:by]])
             all_losses.append(self._run_remainder(rows, epoch_key, n_steps,
                                                   training))
         if not all_losses:
@@ -354,7 +357,7 @@ class CycleGANTrainer:
         bigger than host RAM — batches decode from files in background
         threads). Full batches shard over the mesh through the same psum'd
         step as the cached path; the zip tail runs replicated."""
-        from gan_tpu.data.loader import iter_uint8_batches
+        from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
 
         cfg = self.config
         b = cfg.batch_size
@@ -365,29 +368,43 @@ class CycleGANTrainer:
         perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
         perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
         n_total = min(-(-nx // b), -(-ny // b))
+        stripe = loop.stripe_order(b, ndev) if ndev > 1 else None
         fn = self._get_stream_fn(training)
+
+        def produce():
+            """Assemble + device_put batch pairs in the prefetch thread (host
+            input work overlaps device compute). Full batches stripe-reorder
+            so per-sample RNG pairing matches the cached striped layout (see
+            make_sharded_step)."""
+            pairs = zip(iter_uint8_batches(x, b, perm_x),
+                        iter_uint8_batches(y, b, perm_y))
+            for step, (u8x, u8y) in enumerate(pairs):
+                if step >= n_total:
+                    break
+                if u8x.shape[0] == b and u8y.shape[0] == b and b % ndev == 0:
+                    if stripe is not None:
+                        u8x, u8y = u8x[stripe], u8y[stripe]
+                    yield step, (shard_batch(np.ascontiguousarray(u8x), self.mesh),
+                                 shard_batch(np.ascontiguousarray(u8y), self.mesh)), True
+                else:
+                    yield step, (u8x, u8y), False
+
         losses = []
-        pairs = zip(iter_uint8_batches(x, b, perm_x),
-                    iter_uint8_batches(y, b, perm_y))
-        for step, (u8x, u8y) in enumerate(pairs):
-            if step >= n_total:
-                break
-            if u8x.shape[0] == b and u8y.shape[0] == b and b % ndev == 0:
+        for step, pair, full in prefetch_iter(produce(), depth=2):
+            if full:
                 key = jax.random.fold_in(epoch_key, step)
-                ax = shard_batch(np.ascontiguousarray(u8x), self.mesh)
-                ay = shard_batch(np.ascontiguousarray(u8y), self.mesh)
                 if training:
                     self.params, self.opt_states, l = fn(
-                        self.params, self.opt_states, (ax, ay), key)
+                        self.params, self.opt_states, pair, key)
                 else:
-                    l = fn(self.params, self.opt_states, (ax, ay), key)
-                losses.append(np.asarray(l).reshape(1, -1))
+                    l = fn(self.params, self.opt_states, pair, key)
+                losses.append(l)  # device array — don't sync mid-epoch
             else:
-                losses.append(self._run_remainder((u8x, u8y), epoch_key, step,
+                losses.append(self._run_remainder(pair, epoch_key, step,
                                                   training))
         if not losses:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-        return np.concatenate(losses, axis=0)
+        return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
 
     def _cache_fits(self, *caches) -> bool:
         from gan_tpu.data.loader import FileCache, device_cache_fits
@@ -556,5 +573,5 @@ class CycleGANTrainer:
 
     def load_state(self, state: dict) -> None:
         rep = replicated_sharding(self.mesh)
-        self.params = jax.device_put(state["params"], rep)
-        self.opt_states = jax.device_put(state["opt_states"], rep)
+        self.params = put_global(state["params"], rep)
+        self.opt_states = put_global(state["opt_states"], rep)

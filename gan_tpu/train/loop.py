@@ -24,12 +24,15 @@ jnp.take" figure was exactly that artifact):
   * ``take``    — 2.5 ms per 128-row step at 25.6k rows; also *faster* than
     the round-1 one-hot MXU gather at 4096 rows (308 vs 292 pairs/s end to
     end), so the one-hot path was removed.
-The gathered rows pass through ``optimization_barrier`` so XLA's layout
-assignment cannot propagate the augment pipeline's preferred (C-major,
-HW-tiled) layout back through the gather to the cache parameter: without the
-barrier XLA materializes a full relayout *copy* of the cache inside the
-program (2.64 GB + 1.4× tile padding per 25.6k-row domain — OOM at reference
-scale); with it only the per-step batch is relaid (~5 MB).
+Cache layout: the epoch program prefers a (C-major, HW-tiled) layout for the
+uint8 caches; feeding ``device_put``'s default compact layout makes XLA
+materialize a full relayout *copy* of the cache inside the program (2.64 GB +
+1.4× tile padding per 25.6k-row domain — OOM at reference scale). So
+:func:`put_cache` relays every cache ON DEVICE into the preferred layout up
+front (donated identity jit with an explicit out_shardings Format) — the copy
+disappears from the epoch program and only the per-step batch is relaid
+(~5 MB). Host→device transfers directly into custom layouts crash the axon
+runtime, hence the two-step transfer-then-relayout.
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from gan_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from gan_tpu.parallel.mesh import DATA_AXIS, batch_sharding, put_global
 
 LOSS_KEY_AXIS = None  # losses are (K,) vectors; kept for readability
 
@@ -102,9 +105,14 @@ def make_sharded_step(mesh, prep_fn: Callable, step_fn: Callable, *,
 
     prep_fn(u8_batch, key) -> batch pytree; step_fn as in make_cached_epoch.
     The caller passes ``key = fold_in(epoch_key, step)``; the device index is
-    folded in here, so per-device RNG streams are IDENTICAL to the cached
-    epoch runner's — a streamed epoch reproduces a cached epoch bit-for-bit
-    when batch order matches."""
+    folded in here, so per-device RNG streams equal the cached epoch runner's.
+    For the per-SAMPLE pairing (augment/dropout lanes, per-device BN stats) to
+    match too, the caller must stripe-reorder each full batch before sharding
+    (``batch[stripe_order(B, ndev)]`` — device d's block then holds rows
+    ≡ d (mod ndev), the cached cache's striping). With that, a streamed
+    fixed-order epoch reproduces a cached one up to XLA fusion/summation-order
+    float noise (~1e-6 rel — the scan program and the per-batch programs fuse
+    differently), at any per-device batch size (tested)."""
 
     def one(params, opt_states, u8, key):
         d_idx = jax.lax.axis_index(DATA_AXIS)
@@ -232,7 +240,7 @@ def _chunk_local(arr: np.ndarray, ndev: int, n_chunks: int) -> list[np.ndarray]:
     return chunks
 
 
-def put_cache(cache_np: np.ndarray, mesh):
+def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False):
     """Device-put a host cache striped over the mesh (see stripe_order); at
     mesh size 1 the striping is the identity order.
 
@@ -243,20 +251,43 @@ def put_cache(cache_np: np.ndarray, mesh):
     (_preferred_cache_layout) via a donated identity jit — host→device
     transfers directly into custom layouts crash the runtime, so the
     transfer lands compact and the relayout happens in HBM (one ~ms copy per
-    cache per run). GAN_TPU_CACHE_LAYOUT=off disables the relayout."""
+    cache per run). GAN_TPU_CACHE_LAYOUT=off disables the relayout.
+
+    Multi-controller pods (jax.process_count() > 1): arrays are assembled
+    with ``jax.make_array_from_process_local_data`` (mesh.put_global).
+    ``process_local=False`` expects the SAME full cache on every process;
+    ``process_local=True`` expects only this process's rows, pre-ordered by
+    ``mesh.process_stripe_rows`` — nothing ever holds the whole corpus."""
     import os
 
     ndev = mesh.size
-    n = cache_np.shape[0]
-    if ndev > 1:
-        if n == 0:
-            cache_np = np.zeros((ndev,) + cache_np.shape[1:], cache_np.dtype)
-        else:
-            cache_np = cache_np[stripe_order(n, ndev)]
+    multiproc = jax.process_count() > 1
+    if process_local and multiproc:
+        n_local_dev = sum(1 for d in mesh.devices.flat
+                          if d.process_index == jax.process_index())
+        assert cache_np.shape[0] % max(1, n_local_dev) == 0, (
+            f"process-local cache rows {cache_np.shape[0]} must divide over "
+            f"{n_local_dev} local devices (use mesh.process_stripe_rows)")
+        l = max(1, cache_np.shape[0] // max(1, n_local_dev))
+        global_rows = l * ndev
+    else:
+        n = cache_np.shape[0]
+        if ndev > 1:
+            if n == 0:
+                cache_np = np.zeros((ndev,) + cache_np.shape[1:], cache_np.dtype)
+            else:
+                cache_np = cache_np[stripe_order(n, ndev)]
+        l = max(1, cache_np.shape[0] // ndev)
+        global_rows = None
 
-    l = max(1, cache_np.shape[0] // ndev)
     per_shard = padded_cache_nbytes((l,) + cache_np.shape[1:])
     n_chunks = max(1, -(-per_shard // CHUNK_LIMIT_BYTES))
+    if n_chunks > 1 and process_local and multiproc:
+        raise NotImplementedError(
+            f"per-device cache shard is {per_shard/1e9:.2f} GB tile-padded — "
+            "above the single-buffer runtime limit — and cache chunking is "
+            "not implemented for process-local pod caches; use more "
+            "processes/devices or stream from host (--device-cache off)")
     parts = ([cache_np] if n_chunks == 1
              else _chunk_local(cache_np, ndev, n_chunks))
 
@@ -271,7 +302,7 @@ def put_cache(cache_np: np.ndarray, mesh):
 
     out = []
     for p in parts:
-        arr = jax.device_put(p, batch_sharding(mesh))
+        arr = put_global(p, batch_sharding(mesh), global_rows=global_rows)
         if relayout is not None:
             arr = relayout(arr)
         out.append(arr)
@@ -306,6 +337,41 @@ def local_perm(n: int, *, ndev: int, n_steps: int, per_dev_batch: int,
             order = rng.permutation(max(real, 1))[:need]
         cols.append(order.reshape(n_steps, per_dev_batch))
     return np.concatenate(cols, axis=1).astype(np.int32)
+
+
+def shuffled_stripe_perm(n: int, *, ndev: int, n_steps: int,
+                         per_dev_batch: int, buffer_size: int,
+                         rng: np.random.Generator
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Shuffled-epoch DP sampling over a striped cache (CycleGAN's
+    ``reshuffle_each_iteration=True`` at mesh size > 1, cycle_gan.py:140-150).
+
+    Returns ``(perm, leftover)``:
+      * ``perm`` — (n_steps, ndev · per_dev_batch) local indices as in
+        :func:`local_perm`, but each device's draw order comes from
+        :func:`epoch_perm` over its OWN stripe, so ``--buffer-size`` windowed
+        semantics apply per stripe (full uniform permutation at the default
+        buffer ≥ stripe length).
+      * ``leftover`` — the GLOBAL rows (original indices; device d local j ↔
+        global j·ndev + d) the full steps did NOT draw, pre-shuffled across
+        devices. The zip-tail remainder draws from this, so one epoch visits
+        each row at most once — exactly once for the shorter domain, matching
+        the reference's exactly-once pass at any mesh size.
+    """
+    need = n_steps * per_dev_batch
+    cols, leftovers = [], []
+    for d in range(ndev):
+        real = n // ndev + (1 if d < n % ndev else 0)
+        assert need <= max(real, 1), (
+            f"need {need} rows from a {real}-row stripe (n={n}, ndev={ndev})")
+        order = epoch_perm(max(real, 1), buffer_size, rng)
+        cols.append(order[:need].reshape(n_steps, per_dev_batch))
+        leftovers.append(order[need:real].astype(np.int64) * ndev + d)
+    perm = np.concatenate(cols, axis=1).astype(np.int32)
+    leftover = (np.concatenate(leftovers) if leftovers
+                else np.empty(0, np.int64))
+    rng.shuffle(leftover)  # unbias the tail draw across device stripes
+    return perm, leftover
 
 
 def epoch_perm(n: int, buffer_size: int, rng: np.random.Generator) -> np.ndarray:

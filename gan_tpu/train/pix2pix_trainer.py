@@ -37,8 +37,8 @@ from gan_tpu.data.augment import normalize_batch, paired_jitter_batch
 from gan_tpu.losses import (PIX2PIX_LOSS_KEYS, discriminator_loss, empty_losses,
                             pix2pix_generator_loss, sg_tree)
 from gan_tpu.models import PatchGANDiscriminator, UNetGenerator
-from gan_tpu.parallel.mesh import (DATA_AXIS, make_mesh, replicated_sharding,
-                                   shard_batch)
+from gan_tpu.parallel.mesh import (DATA_AXIS, make_mesh, put_global,
+                                   replicated_sharding, shard_batch)
 from gan_tpu.train import loop
 from gan_tpu.train.checkpoint import CheckpointManager
 from gan_tpu.train.optim import adam
@@ -113,8 +113,8 @@ class Pix2PixTrainer:
         opt_states = {"gen": self.tx_gen.init(params["gen"]),
                       "disc": self.tx_disc.init(params["disc"])}
         rep = replicated_sharding(self.mesh)
-        self.params = jax.device_put(params, rep)
-        self.opt_states = jax.device_put(opt_states, rep)
+        self.params = put_global(params, rep)
+        self.opt_states = put_global(opt_states, rep)
 
         self._bn_axis = DATA_AXIS if (config.bn_cross_replica == "true"
                                       and self.mesh.size > 1) else None
@@ -227,8 +227,8 @@ class Pix2PixTrainer:
         covers every sample and val sets smaller than the global batch still
         produce finite metrics. RNG continues the epoch runner's stream
         (step index = n_steps, device stream 0)."""
-        arr = jax.device_put(np.ascontiguousarray(rows_u8),
-                             replicated_sharding(self.mesh))
+        arr = put_global(np.ascontiguousarray(rows_u8),
+                         replicated_sharding(self.mesh))
         key = jax.random.fold_in(jax.random.fold_in(epoch_key, n_steps), 0)
         if training:
             self.params, self.opt_states, losses = self._rem_train(
@@ -289,16 +289,33 @@ class Pix2PixTrainer:
         are sharded over the mesh and stepped through the same psum'd DP step
         as the cached path (identical RNG streams — see make_sharded_step);
         the partial tail batch runs replicated."""
-        from gan_tpu.data.loader import iter_uint8_batches
+        from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
 
         b = self.config.batch_size
         ndev = self.mesh.size
+        stripe = loop.stripe_order(b, ndev) if ndev > 1 else None
         fn = self._get_stream_fn(training)
+
+        def produce():
+            """Assemble + device_put batches (runs in the prefetch thread —
+            overlaps the current step's device compute). Full batches are
+            stripe-reordered so device d's block holds rows ≡ d (mod ndev),
+            matching put_cache striping: per-sample augment/dropout RNG
+            pairing and per-device BN stats then equal the cached epoch's at
+            any per-device batch size (see make_sharded_step)."""
+            for step, batch_u8 in enumerate(iter_uint8_batches(cache, b)):
+                if batch_u8.shape[0] == b and batch_u8.shape[0] % ndev == 0:
+                    if stripe is not None:
+                        batch_u8 = batch_u8[stripe]
+                    yield step, shard_batch(np.ascontiguousarray(batch_u8),
+                                            self.mesh), True
+                else:
+                    yield step, batch_u8, False
+
         losses = []
-        for step, batch_u8 in enumerate(iter_uint8_batches(cache, b)):
-            if batch_u8.shape[0] == b and batch_u8.shape[0] % ndev == 0:
+        for step, arr, full in prefetch_iter(produce(), depth=2):
+            if full:
                 key = jax.random.fold_in(epoch_key, step)
-                arr = shard_batch(np.ascontiguousarray(batch_u8), self.mesh)
                 if training:
                     self.params, self.opt_states, l = fn(
                         self.params, self.opt_states, arr, key)
@@ -306,7 +323,7 @@ class Pix2PixTrainer:
                     l = fn(self.params, self.opt_states, arr, key)
                 losses.append(l)
             else:
-                losses.append(self._run_remainder(batch_u8, epoch_key, step,
+                losses.append(self._run_remainder(arr, epoch_key, step,
                                                   training))
         if not losses:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
@@ -491,5 +508,5 @@ class Pix2PixTrainer:
 
     def load_state(self, state: dict) -> None:
         rep = replicated_sharding(self.mesh)
-        self.params = jax.device_put(state["params"], rep)
-        self.opt_states = jax.device_put(state["opt_states"], rep)
+        self.params = put_global(state["params"], rep)
+        self.opt_states = put_global(state["opt_states"], rep)

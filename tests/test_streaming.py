@@ -38,8 +38,11 @@ def _train_cache(n, rng):
     return rng.integers(0, 255, (n, 2, 32 + 30, 32 + 30, 1), np.uint8)
 
 
-@pytest.mark.parametrize("ndev", [1, 8])
+@pytest.mark.parametrize("ndev", [1, 8, 4])
 def test_streamed_epoch_matches_cached_epoch(cpu_devices, ndev):
+    """ndev=4 exercises per-device batch 2 — parity there requires the
+    trainers' stripe_order reorder of each full streamed batch (without it,
+    per-sample augment/dropout pairing and BN stats diverge: ~2e-1 abs)."""
     cache = _train_cache(19, np.random.default_rng(3))  # 2 full (B=8) + rem 3
     key = jax.random.PRNGKey(11)
 
