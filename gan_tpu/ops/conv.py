@@ -62,16 +62,27 @@ def conv2d_valid(x, w, *, compute_dtype=None):
     )
 
 
+def _convt_impl() -> str:
+    """GAN_TPU_CONVT: 'dilated' | 'phased' | 'auto'. 'auto' currently means
+    dilated (pending the on-hardware A/B — benchmarks/convt_bench.py)."""
+    import os
+    return os.environ.get("GAN_TPU_CONVT", "auto")
+
+
 def conv2d_transpose_up(x, w_tf, stride: int = 2, *, compute_dtype=None):
     """Stride-2 'same' transposed conv — the U-Net upsample conv (base_gan.py:107).
 
     Exact adjoint of ``conv2d_same(stride)`` (TF ``Conv2DTranspose`` semantics:
     the gradient of the forward conv). Implemented as an lhs-dilated conv so
-    XLA lowers it onto the MXU directly rather than via scatter.
+    XLA lowers it onto the MXU directly rather than via scatter; the
+    phase-decomposed rewrite (``conv2d_transpose_up_phased``) is selectable
+    via GAN_TPU_CONVT — see ``_convt_impl`` for the measured default.
 
     x: (N, H, W, C_in); w_tf: (k, k, C_out, C_in) (TF ConvTranspose layout).
     Output: (N, H*stride, W*stride, C_out).
     """
+    if stride == 2 and w_tf.shape[0] == 4 and _convt_impl() == "phased":
+        return conv2d_transpose_up_phased(x, w_tf, compute_dtype=compute_dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w_tf = w_tf.astype(compute_dtype)
@@ -88,3 +99,61 @@ def conv2d_transpose_up(x, w_tf, stride: int = 2, *, compute_dtype=None):
         x, w, (1, 1), pad, lhs_dilation=(stride, stride),
         dimension_numbers=_DN, preferred_element_type=x.dtype,
     )
+
+
+def _phase_kernel(w_tf):
+    """Pack the k=4 TF ConvTranspose kernel into one (2, 2, C_in, 4·C_out)
+    stride-1 kernel whose output channels are the 4 output phases
+    (ry, rx) ∈ {0,1}² (see conv2d_transpose_up_phased).
+
+    Derivation (per spatial dim, k=4, s=2, TF-'same' → dilated-conv pad 2):
+    output row u = 2i+ry sums taps a with (u + a - 2) even, i.e. a ≡ ry
+    (mod 2): phase 0 reads x[i-1], x[i] with adjoint taps a = 0, 2; phase 1
+    reads x[i], x[i+1] with taps a = 1, 3 — each phase a 2-tap stride-1 conv.
+    """
+    # adjoint (flipped, IO-swapped) kernel in HWIO
+    w = jnp.flip(w_tf, (0, 1)).transpose(0, 1, 3, 2)  # (4,4,C_in,C_out)
+    c_in, c_out = w.shape[2], w.shape[3]
+    parts = []
+    for ry in (0, 1):
+        for rx in (0, 1):
+            # tap order must match the padded-x window [i-1+t] for t=0,1:
+            # phase 0: x[i-1](a=0), x[i](a=2); phase 1: x[i](a=1), x[i+1](a=3)
+            ah = (0, 2) if ry == 0 else (1, 3)
+            aw = (0, 2) if rx == 0 else (1, 3)
+            parts.append(w[jnp.array(ah)][:, jnp.array(aw)])
+    return (jnp.stack(parts, axis=3)              # (2,2,C_in,4,C_out)
+            .reshape(2, 2, c_in, 4 * c_out))
+
+
+def conv2d_transpose_up_phased(x, w_tf, *, compute_dtype=None):
+    """``conv2d_transpose_up`` (stride 2, k=4) as ONE stride-1 2×2 conv with
+    4·C_out output channels + depth-to-space, numerically identical to the
+    lhs-dilated form (tested) but with ZERO wasted MXU work: lhs dilation
+    feeds the systolic array a 75%-zero input (4 of 16 taps useful per
+    output), while the phase decomposition computes exactly the 4 useful
+    taps per output pixel. The classic sub-pixel/deconv-phase rewrite,
+    expressed in XLA ops so the backward pass (a plain strided conv per
+    phase) is derived automatically."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w_tf = w_tf.astype(compute_dtype)
+    assert w_tf.shape[0] == w_tf.shape[1] == 4, "phased path is k=4, s=2 only"
+    n, h, wd, _ = x.shape
+    c_out = w_tf.shape[2]
+    wp = _phase_kernel(w_tf)
+    # One 2×2 conv over pad-(1,1) input → (H+1, W+1) positions: position u
+    # computes x[u-1]·w[0] + x[u]·w[1]. Phase 0 at output row i reads
+    # position u=i (taps a=0,2 on x[i-1], x[i]); phase 1 reads u=i+1
+    # (taps a=1,3 on x[i], x[i+1]) — so each phase is an offset slice.
+    y = lax.conv_general_dilated(
+        x, wp, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN,
+        preferred_element_type=x.dtype,
+    )                                             # (N, H+1, W+1, 4*C_out)
+    y = y.reshape(n, h + 1, wd + 1, 2, 2, c_out)  # (..., ry, rx, C)
+    # out[2i+ry, 2j+rx] = y[i+ry, j+rx, ry, rx]
+    rows = [[y[:, ry:h + ry, rx:wd + rx, ry, rx] for rx in (0, 1)]
+            for ry in (0, 1)]
+    y = jnp.stack([jnp.stack(r, axis=3) for r in rows], axis=2)
+    #                                              (N, H, ry, W, rx, C)
+    return y.reshape(n, 2 * h, 2 * wd, c_out)

@@ -161,3 +161,28 @@ class TestSSIM:
         a = jnp.asarray(RNG.uniform(-0.5, 0.5, (1, 32, 32, 1)).astype(np.float32))
         shifted = a + 0.5
         assert float(ssim(a, shifted, max_val=2.0)[0]) < 0.99
+
+
+def test_conv_transpose_phased_matches_dilated():
+    """The phase-decomposed (sub-pixel) transposed conv is numerically the
+    lhs-dilated form, values AND gradients (ops/conv.py — GAN_TPU_CONVT)."""
+    import jax
+    import jax.numpy as jnp
+    from gan_tpu.ops.conv import (conv2d_transpose_up,
+                                  conv2d_transpose_up_phased)
+
+    rng = np.random.default_rng(0)
+    for h, ci, co in [(8, 16, 8), (5, 3, 7)]:
+        x = jnp.asarray(rng.standard_normal((2, h, h, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((4, 4, co, ci)), jnp.float32)
+        a = conv2d_transpose_up(x, w)
+        b = conv2d_transpose_up_phased(x, w)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    f1 = lambda x, w: jnp.sum(conv2d_transpose_up(x, w) ** 2)
+    f2 = lambda x, w: jnp.sum(conv2d_transpose_up_phased(x, w) ** 2)
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 5, 4)), jnp.float32)
+    for a, b in zip(jax.grad(f1, (0, 1))(x, w), jax.grad(f2, (0, 1))(x, w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
