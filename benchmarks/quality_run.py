@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Train Pix2Pix to convergence on a synthetic paired corpus and commit
+quality numbers (round-2 VERDICT item 3: instantiate the L1/SSIM/PSNR/
+Fréchet-proxy capability on a real trained model, in-repo).
+
+Corpus: input = smooth dark-biased blob field; target = the deterministic
+inverted + edge-mixed rendering of the SAME field — a non-trivial but
+learnable image-to-image mapping (translation must both invert brightness
+and preserve structure; identity scores badly: L1(identity) ≈ 0.9 at the
+corpus's brightness asymmetry).
+
+Drives the REAL CLI end to end (train → predict --raw-predictions), then
+tools/eval_quality.py on raw predictions vs extracted targets. Also reports
+the input-vs-target baseline so the trained numbers have a floor to beat.
+
+Usage: python benchmarks/quality_run.py [epochs] [n_pairs] [out_json]
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+from PIL import Image, ImageFilter
+
+ROOT = "/tmp/gan_tpu_quality"
+
+
+def make_corpus(root: str, n: int, size: int = 256, seed: int = 0) -> None:
+    """Paired PNGs in the reference layout (input|target concatenated)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        noise = rng.normal(95, 55, (size // 8, size // 8))
+        img = Image.fromarray(np.clip(noise, 0, 255).astype(np.uint8), "L")
+        img = img.resize((size, size), Image.BILINEAR)
+        img = img.filter(ImageFilter.GaussianBlur(3))
+        inp = np.asarray(img, np.float32)
+        edges = np.asarray(img.filter(ImageFilter.FIND_EDGES), np.float32)
+        tar = np.clip((255.0 - inp) * 0.8 + edges * 0.6, 0, 255)
+        pair = np.concatenate([inp, tar], axis=1).astype(np.uint8)
+        Image.fromarray(pair, "L").save(os.path.join(root, f"pair_{i:05d}.png"))
+
+
+def extract_targets(data_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for p in sorted(glob.glob(os.path.join(data_dir, "pair_*.png"))):
+        arr = np.asarray(Image.open(p))
+        w = arr.shape[1] // 2
+        Image.fromarray(arr[:, w:], "L").save(
+            os.path.join(out_dir, os.path.basename(p)))
+
+
+def extract_inputs(data_dir: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for p in sorted(glob.glob(os.path.join(data_dir, "pair_*.png"))):
+        arr = np.asarray(Image.open(p))
+        w = arr.shape[1] // 2
+        Image.fromarray(arr[:, :w], "L").save(
+            os.path.join(out_dir, os.path.basename(p)))
+
+
+def eval_dirs(gen: str, tar: str) -> dict:
+    from tools.eval_quality import main as eval_main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--generated", gen, "--target", tar, "--channels", "1",
+                   "--img-size", "256"])
+    return json.loads(buf.getvalue())
+
+
+def main() -> None:
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    out_json = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(__file__), "results", "pix2pix_quality_eval.json")
+
+    data = os.path.join(ROOT, "data")
+    if len(glob.glob(os.path.join(data, "pair_*.png"))) < n:
+        print(f"generating {n}-pair corpus…", flush=True)
+        make_corpus(data, n)
+
+    import pix2pix
+    from gan_tpu.config import parse_pix2pix
+
+    os.environ["GAN_TPU_PERF"] = "1"
+    train_out = os.path.join(ROOT, "train_out")
+    cfg = parse_pix2pix([
+        "--data", data, "--output", train_out, "--train",
+        "--epochs", str(epochs), "--img-size", "256", "--batch-size", "32",
+        "--logging", "false", "--save-weights", "true", "--test-img", "2"])
+    pix2pix.main(cfg)
+    run = sorted(glob.glob(os.path.join(train_out, "*")))[-1]
+
+    pred_out = os.path.join(ROOT, "pred_out")
+    cfg2 = parse_pix2pix([
+        "--data", data, "--output", pred_out, "--predict",
+        "--weights", os.path.join(run, "training_checkpoints"),
+        "--img-size", "256", "--batch-size", "32", "--logging", "false",
+        "--raw-predictions", "true"])
+    pix2pix.main(cfg2)
+    run2 = sorted(glob.glob(os.path.join(pred_out, "*")))[-1]
+    raw = os.path.join(run2, "prediction_images_raw")
+
+    tar_dir = os.path.join(ROOT, "targets")
+    inp_dir = os.path.join(ROOT, "inputs")
+    extract_targets(data, tar_dir)
+    extract_inputs(data, inp_dir)
+
+    report = {
+        "config": {"epochs": epochs, "n_pairs": n, "img_size": 256,
+                   "batch_size": 32, "dtype": "bf16",
+                   "corpus": "synthetic blob fields -> inverted+edge render"},
+        "trained_vs_target": eval_dirs(raw, tar_dir),
+        "identity_baseline_input_vs_target": eval_dirs(inp_dir, tar_dir),
+        "train_metrics_json": os.path.join(run, "logs", "train_metrics.json"),
+    }
+    # inline the final-epoch losses for self-containment
+    with open(report["train_metrics_json"]) as f:
+        m = json.load(f)
+    report["final_epoch_train_losses"] = {k: v[-1] for k, v in m.items()}
+    os.makedirs(os.path.dirname(out_json), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["trained_vs_target"]))
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Host-streaming throughput at reference scale (round-2 VERDICT item 1).
+
+The empirical device-cache ceiling is 3.5 GB/device (data/loader.py:
+DEVICE_CACHE_SAFE_BYTES — the axon worker faults above ~4.4 GB), so the REAL
+reference corpus (25,446 Pix2Pix pairs ≈ 5.6 GB tile-padded at 286²) cannot
+device-cache on one chip: a user training it single-chip takes the
+host-streaming path. This benchmark measures that path:
+
+  * ``hostarray``  — decoded-once host uint8 cache, streamed per batch
+    (--device-cache off equivalent): per-step host work is slice + stripe
+    + device transfer, overlapped with device compute via
+    loader.prefetch_iter. The configuration the reference corpus actually
+    hits on one chip.
+  * ``filecache``  — per-step file decode (FileCache background threads),
+    for corpora beyond host RAM. On this 1-core host it is decode-bound —
+    see ``decode`` for the ceiling.
+  * ``decode``     — standalone native C++ decoder throughput (pairs/s) on
+    the same files: the upper bound any file-streaming path can sustain.
+  * ``cyclegan``   — CycleGAN dual-domain host-array streaming.
+
+Usage: python benchmarks/streaming.py MODE [n_imgs] [batch] [img_size]
+Prints one JSON line per run (same schema as bench.py).
+GAN_TPU_PREFETCH_DEPTH=0 disables the double-buffer (A/B baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("GAN_TPU_ALLOW_ANY_SIZE", "1")
+
+import jax
+import numpy as np
+
+from gan_tpu.data.augment import JITTER_PAD
+
+
+def synth_corpus_files(root: str, n: int, *, img_size: int, pair: bool,
+                       channels: int = 1) -> list[str]:
+    """Write n synthetic pair/single PNGs (reference layout: pairs are
+    horizontally concatenated input|target). Random noise — the pessimistic
+    (least-compressible) case for PNG decode. Reused across runs."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    w = img_size * (2 if pair else 1)
+    paths = [os.path.join(root, f"img_{i:06d}.png") for i in range(n)]
+    todo = [p for p in paths if not os.path.exists(p)]
+    if todo:
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        for k, p in enumerate(todo):
+            arr = rng.integers(0, 255, (img_size, w), np.uint8)
+            Image.fromarray(arr, "L").save(p, compress_level=1)
+            if k and k % 5000 == 0:
+                print(f"  wrote {k}/{len(todo)} ({time.time()-t0:.0f}s)",
+                      file=sys.stderr, flush=True)
+    return paths
+
+
+def _pix2pix_trainer(batch: int, img_size: int):
+    from gan_tpu.config import Pix2PixConfig
+    from gan_tpu.train.pix2pix_trainer import Pix2PixTrainer
+
+    n_dev = len(jax.devices())
+    cfg = Pix2PixConfig(data="", output="", img_size=img_size,
+                        batch_size=batch, train=True, epochs=1, dtype="bf16",
+                        num_devices=n_dev)
+    cfg.validate()
+    return Pix2PixTrainer(cfg), n_dev
+
+
+def run_hostarray(n: int, batch: int, img_size: int, epochs: int = 2) -> dict:
+    trainer, n_dev = _pix2pix_trainer(batch, img_size)
+    src = img_size + JITTER_PAD
+    rng = np.random.default_rng(0)
+    cache = rng.integers(0, 255, (n, 2, src, src, 1), np.uint8)
+    print(f"host cache: {cache.nbytes/1e9:.2f} GB ({n} pairs)",
+          file=sys.stderr, flush=True)
+    key = jax.random.PRNGKey(0)
+    trainer._run_epoch_streaming(cache, key, training=True)  # compile+warm
+    jax.block_until_ready(trainer.params)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._run_epoch_streaming(cache, jax.random.fold_in(key, e + 1),
+                                     training=True)
+    jax.block_until_ready(trainer.params)
+    ips = epochs * n / (time.perf_counter() - t0)
+    return {"metric": f"pix2pix_stream_hostarray_imgs_per_sec_per_chip_{img_size}",
+            "value": round(ips / n_dev, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / n_dev / 250.0, 4)}
+
+
+def run_filecache(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
+    from gan_tpu.data.loader import FileCache
+    from gan_tpu.data.pipeline import build_pix2pix_cache
+
+    paths = synth_corpus_files(f"/tmp/gan_tpu_streambench/pair{img_size}", n,
+                               img_size=286 if img_size == 256 else img_size + JITTER_PAD,
+                               pair=True)
+    trainer, n_dev = _pix2pix_trainer(batch, img_size)
+    src = img_size + JITTER_PAD
+    fc = FileCache(paths,
+                   lambda p: build_pix2pix_cache([p], img_size=img_size,
+                                                 channels=1, orient="left",
+                                                 train=True)[0],
+                   (2, src, src, 1), batch)
+    key = jax.random.PRNGKey(0)
+    trainer._run_epoch_streaming(fc, key, training=True)  # compile+warm
+    jax.block_until_ready(trainer.params)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._run_epoch_streaming(fc, jax.random.fold_in(key, e + 1),
+                                     training=True)
+    jax.block_until_ready(trainer.params)
+    ips = epochs * n / (time.perf_counter() - t0)
+    return {"metric": f"pix2pix_stream_filecache_imgs_per_sec_per_chip_{img_size}",
+            "value": round(ips / n_dev, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / n_dev / 250.0, 4)}
+
+
+def run_decode(n: int, batch: int, img_size: int) -> dict:
+    """Standalone decoder ceiling: native C++ loader over the same files."""
+    from gan_tpu.data.pipeline import build_pix2pix_cache, _use_native
+
+    paths = synth_corpus_files(f"/tmp/gan_tpu_streambench/pair{img_size}", n,
+                               img_size=286 if img_size == 256 else img_size + JITTER_PAD,
+                               pair=True)
+    build_pix2pix_cache(paths[:64], img_size=img_size, channels=1,
+                        orient="left", train=True)  # warm
+    t0 = time.perf_counter()
+    build_pix2pix_cache(paths, img_size=img_size, channels=1, orient="left",
+                        train=True)
+    ips = n / (time.perf_counter() - t0)
+    return {"metric": f"native_decode_pairs_per_sec_{img_size}"
+            if _use_native() else f"python_decode_pairs_per_sec_{img_size}",
+            "value": round(ips, 2), "unit": "pairs/sec (host, 1 core)",
+            "vs_baseline": round(ips / 250.0, 4)}
+
+
+def run_cyclegan(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
+    from gan_tpu.config import CycleGANConfig
+    from gan_tpu.train.cyclegan_trainer import CycleGANTrainer
+
+    n_dev = len(jax.devices())
+    cfg = CycleGANConfig(input_images="", target_images="", output="",
+                         img_size=img_size, batch_size=batch, train=True,
+                         epochs=1, dtype="bf16", num_devices=n_dev)
+    cfg.validate()
+    trainer = CycleGANTrainer(cfg)
+    src = img_size + JITTER_PAD
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (n, src, src, 1), np.uint8)
+    y = rng.integers(0, 255, (n, src, src, 1), np.uint8)
+    print(f"host caches: {2*x.nbytes/1e9:.2f} GB ({n}/domain)",
+          file=sys.stderr, flush=True)
+    key = jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(0)
+    trainer._run_epoch_streaming(x, y, key, training=True, rng=host_rng)
+    jax.block_until_ready(trainer.params)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._run_epoch_streaming(x, y, jax.random.fold_in(key, e + 1),
+                                     training=True, rng=host_rng)
+    jax.block_until_ready(trainer.params)
+    pps = epochs * n / (time.perf_counter() - t0)
+    return {"metric": f"cyclegan_stream_hostarray_pairs_per_sec_per_chip_{img_size}",
+            "value": round(pps / n_dev, 2), "unit": "image-pairs/sec/chip",
+            "vs_baseline": round(pps / n_dev / 250.0, 4)}
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "hostarray"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 25_472
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    img = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    fn = {"hostarray": run_hostarray, "filecache": run_filecache,
+          "decode": run_decode, "cyclegan": run_cyclegan}[mode]
+    print(json.dumps(fn(n, batch, img)))
