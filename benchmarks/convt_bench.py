@@ -28,21 +28,40 @@ import numpy as np
 from gan_tpu.ops.conv import conv2d_transpose_up, conv2d_transpose_up_phased
 
 
+
+def _sync(params):
+    """Hard barrier: fetch one param leaf to host — on the axon tunnel,
+    block_until_ready can return before execution completes."""
+    import jax
+    import numpy as np
+    np.asarray(jax.tree_util.tree_leaves(params)[0]).ravel()[:1]
+    jax.block_until_ready(params)
+
 def _time_scanned(fn, args, iters: int = 50) -> float:
     """Per-call seconds via a scanned loop (per-dispatch timing over the axon
     tunnel is meaningless — CLAUDE.md)."""
 
-    def body(c, _):
-        out = fn(*args)
-        # fold output back into the carry so the loop can't be collapsed
-        return c + jnp.float32(out.mean()), None
+    def run_impl(x, *rest):
+        def body(c, _):
+            # perturb the input by the (data-dependent, ~0) carry so the conv
+            # depends on the previous iteration — otherwise XLA hoists the
+            # loop-invariant conv out of the scan and times ~2 µs/iter
+            out = fn(x + c.astype(x.dtype), *rest)
+            return (jnp.float32(out.mean()) * jnp.float32(1e-20)).astype(
+                jnp.float32), None
 
-    run = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0), None,
-                                       length=iters)[0])
-    run().block_until_ready()  # compile
+        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+
+    # args as jit PARAMETERS, not closures — closed-over arrays become HLO
+    # constants and the axon remote-compile endpoint rejects big bodies (413)
+    run = jax.jit(run_impl)
+    float(run(*args))  # compile; value fetch is the only reliable barrier
     t0 = time.perf_counter()
-    run().block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    float(run(*args))  # device->host read forces completion (axon tunnel:
+    t1 = time.perf_counter()  # block_until_ready returns early)
+    float(run(*args))
+    t2 = time.perf_counter()
+    return min(t1 - t0, t2 - t1) / iters
 
 
 def micro():
@@ -58,7 +77,10 @@ def micro():
         w = jnp.asarray(rng.standard_normal((4, 4, co, ci)), jnp.bfloat16)
         td = _time_scanned(conv2d_transpose_up, (x, w))
         tp = _time_scanned(conv2d_transpose_up_phased, (x, w))
-        useful_tflops = n * (2 * h) ** 2 * co * 16 * ci * 2 / 1e12
+        # 4 of the 16 kernel taps land on real (non-dilation-zero) inputs
+        # per output pixel — this is the USEFUL work; a naive dilated
+        # lowering would do 4x this
+        useful_tflops = n * (2 * h) ** 2 * co * 4 * ci * 2 / 1e12
         rows.append({"h": h, "cin": ci, "cout": co,
                      "dilated_ms": round(td * 1e3, 3),
                      "phased_ms": round(tp * 1e3, 3),
@@ -77,7 +99,7 @@ def e2e():
     from gan_tpu.train.pix2pix_trainer import Pix2PixTrainer
 
     out = {}
-    for impl in ("dilated", "phased"):
+    for impl in ("dilated", "phased", "auto"):
         os.environ["GAN_TPU_CONVT"] = impl
         mesh = make_mesh(len(jax.devices()))
         batch = 128 * mesh.size
@@ -95,12 +117,12 @@ def e2e():
         host_rng = np.random.default_rng(0)
         trainer._run_epoch(cache, cache_np, key, training=True,
                            fixed_order=True, rng=host_rng)  # compile
-        jax.block_until_ready(trainer.params)
+        _sync(trainer.params)
         t0 = time.perf_counter()
         for r in range(2):
             trainer._run_epoch(cache, cache_np, jax.random.fold_in(key, r + 1),
                                training=True, fixed_order=True, rng=host_rng)
-        jax.block_until_ready(trainer.params)
+        _sync(trainer.params)
         ips = 2 * n / (time.perf_counter() - t0)
         out[impl] = round(ips / mesh.size, 2)
         print(json.dumps({"impl": impl, "imgs_per_sec_per_chip": out[impl]}),

@@ -74,7 +74,10 @@ def run(model: str, img_size: int, per_dev_batch: int, steps: int = 32,
     for r in range(reps):
         epoch(r + 1)
     jax.block_until_ready(trainer.params)
-    dt = time.perf_counter() - t0
+    np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).ravel()[:1]
+    dt = time.perf_counter() - t0  # incl. a hard param fetch: one ~0.15 s
+    # tunnel round trip ensures execution really finished (axon's
+    # block_until_ready is a soft barrier for some result kinds)
     ips = reps * steps * batch / dt
     unit = "images/sec/chip" if model == "pix2pix" else "image-pairs/sec/chip"
     return {

@@ -63,8 +63,17 @@ def conv2d_valid(x, w, *, compute_dtype=None):
 
 
 def _convt_impl() -> str:
-    """GAN_TPU_CONVT: 'dilated' | 'phased' | 'auto'. 'auto' currently means
-    dilated (pending the on-hardware A/B — benchmarks/convt_bench.py)."""
+    """GAN_TPU_CONVT: 'dilated' | 'phased' | 'auto'.
+
+    Measured on the v5e chip (benchmarks/convt_bench.py micro, batch 128,
+    bf16): XLA:TPU's lhs-dilated lowering is already phase-specialized — its
+    useful-FLOPs rate (~140 TFLOP/s at the big decoder layers) exceeds the
+    25%-useful ceiling a naive dilated compute would be capped at, so the
+    hand phase decomposition LOSES 1.3-2x wherever the MXU is busy (extra
+    phase-interleave data movement). The one win is the narrow tanh HEAD
+    (C_out=1: 3.40 -> 1.53 ms, 2.2x — 1 output channel wastes the MXU lane
+    dim and the dilated form is bandwidth-bound on the padded lanes).
+    'auto' therefore dispatches phased only when C_out < 8."""
     import os
     return os.environ.get("GAN_TPU_CONVT", "auto")
 
@@ -81,7 +90,9 @@ def conv2d_transpose_up(x, w_tf, stride: int = 2, *, compute_dtype=None):
     x: (N, H, W, C_in); w_tf: (k, k, C_out, C_in) (TF ConvTranspose layout).
     Output: (N, H*stride, W*stride, C_out).
     """
-    if stride == 2 and w_tf.shape[0] == 4 and _convt_impl() == "phased":
+    impl = _convt_impl()
+    if stride == 2 and w_tf.shape[0] == 4 and (
+            impl == "phased" or (impl == "auto" and w_tf.shape[2] < 8)):
         return conv2d_transpose_up_phased(x, w_tf, compute_dtype=compute_dtype)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
