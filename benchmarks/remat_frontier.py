@@ -30,6 +30,15 @@ from gan_tpu.parallel.mesh import make_mesh
 from gan_tpu.train import loop
 
 
+
+def _sync(params):
+    """Hard barrier: fetch one param leaf to host — on the axon tunnel,
+    block_until_ready can return before execution completes."""
+    import jax
+    import numpy as np
+    np.asarray(jax.tree_util.tree_leaves(params)[0]).ravel()[:1]
+    jax.block_until_ready(params)
+
 def peak_hbm() -> int:
     try:
         return jax.devices()[0].memory_stats().get("peak_bytes_in_use", -1)
@@ -59,12 +68,12 @@ def cell(batch: int, remat: str, steps: int = 16) -> dict:
         host_rng = np.random.default_rng(0)
         trainer._run_epoch(cache, cache_np, key, training=True,
                            fixed_order=True, rng=host_rng)  # compile
-        jax.block_until_ready(trainer.params)
+        _sync(trainer.params)
         t0 = time.perf_counter()
         for r in range(2):
             trainer._run_epoch(cache, cache_np, jax.random.fold_in(key, r + 1),
                                training=True, fixed_order=True, rng=host_rng)
-        jax.block_until_ready(trainer.params)
+        _sync(trainer.params)
         ips = 2 * n / (time.perf_counter() - t0)
         out["imgs_per_sec_per_chip"] = round(ips / mesh.size, 2)
         out["peak_hbm_gb"] = round(peak_hbm() / 1e9, 2)

@@ -40,6 +40,15 @@ import numpy as np
 from gan_tpu.data.augment import JITTER_PAD
 
 
+
+def _sync(params):
+    """Hard barrier: fetch one param leaf to host — on the axon tunnel,
+    block_until_ready can return before execution completes."""
+    import jax
+    import numpy as np
+    np.asarray(jax.tree_util.tree_leaves(params)[0]).ravel()[:1]
+    jax.block_until_ready(params)
+
 def synth_corpus_files(root: str, n: int, *, img_size: int, pair: bool,
                        channels: int = 1) -> list[str]:
     """Write n synthetic pair/single PNGs (reference layout: pairs are
@@ -84,12 +93,12 @@ def run_hostarray(n: int, batch: int, img_size: int, epochs: int = 2) -> dict:
           file=sys.stderr, flush=True)
     key = jax.random.PRNGKey(0)
     trainer._run_epoch_streaming(cache, key, training=True)  # compile+warm
-    jax.block_until_ready(trainer.params)
+    _sync(trainer.params)
     t0 = time.perf_counter()
     for e in range(epochs):
         trainer._run_epoch_streaming(cache, jax.random.fold_in(key, e + 1),
                                      training=True)
-    jax.block_until_ready(trainer.params)
+    _sync(trainer.params)
     ips = epochs * n / (time.perf_counter() - t0)
     return {"metric": f"pix2pix_stream_hostarray_imgs_per_sec_per_chip_{img_size}",
             "value": round(ips / n_dev, 2), "unit": "images/sec/chip",
@@ -112,12 +121,12 @@ def run_filecache(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
                    (2, src, src, 1), batch)
     key = jax.random.PRNGKey(0)
     trainer._run_epoch_streaming(fc, key, training=True)  # compile+warm
-    jax.block_until_ready(trainer.params)
+    _sync(trainer.params)
     t0 = time.perf_counter()
     for e in range(epochs):
         trainer._run_epoch_streaming(fc, jax.random.fold_in(key, e + 1),
                                      training=True)
-    jax.block_until_ready(trainer.params)
+    _sync(trainer.params)
     ips = epochs * n / (time.perf_counter() - t0)
     return {"metric": f"pix2pix_stream_filecache_imgs_per_sec_per_chip_{img_size}",
             "value": round(ips / n_dev, 2), "unit": "images/sec/chip",
@@ -162,12 +171,12 @@ def run_cyclegan(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
     key = jax.random.PRNGKey(0)
     host_rng = np.random.default_rng(0)
     trainer._run_epoch_streaming(x, y, key, training=True, rng=host_rng)
-    jax.block_until_ready(trainer.params)
+    _sync(trainer.params)
     t0 = time.perf_counter()
     for e in range(epochs):
         trainer._run_epoch_streaming(x, y, jax.random.fold_in(key, e + 1),
                                      training=True, rng=host_rng)
-    jax.block_until_ready(trainer.params)
+    _sync(trainer.params)
     pps = epochs * n / (time.perf_counter() - t0)
     return {"metric": f"cyclegan_stream_hostarray_pairs_per_sec_per_chip_{img_size}",
             "value": round(pps / n_dev, 2), "unit": "image-pairs/sec/chip",
