@@ -43,11 +43,23 @@ def host_cache_fits(nbytes: int, mode: str = "auto", *,
 
 # Empirical per-device ceiling for TOTAL resident cache bytes (tile-padded):
 # on the v5e/axon stack, epoch programs with >= ~4.4 GB of cache arguments
-# crash the TPU worker outright (bracketed: 3.54 GB total always runs at full
-# speed, 4.43 GB+ always faults — independent of batch size, chunking, and
-# layout). Stay well below; bigger corpora fall back to host streaming.
-# Override with GAN_TPU_DEVICE_CACHE_MAX (bytes).
+# crash the TPU worker outright (bracketed round 2: 3.54 GB total always runs
+# at full speed, 4.43 GB+ always faults — independent of batch size and
+# chunking). Stay well below; bigger corpora move to FLAT storage (below) or
+# host streaming. Override with GAN_TPU_DEVICE_CACHE_MAX (bytes).
 DEVICE_CACHE_SAFE_BYTES = 3_500_000_000
+
+# FLAT storage (loop.FlatCache) ceiling: rows stored as (N, row_bytes) carry
+# no image-tile padding, so more corpus fits under the same argument-bytes
+# fault boundary — 4.167 GB (the full 25,472-pair reference corpus) measured
+# to train repeatedly at full speed on v5e round 3, consistent with the
+# round-2 fault bracket (4.43 GB bad) being a ~4 GiB argument-bytes limit.
+# Budget 2× when sizing HBM: XLA keeps an in-program repack of the flat
+# cache (measured: temp ≈ cache size), which is why the ceiling stays below
+# the bracket rather than at it. 0 on non-TPU platforms (the fault — and the
+# padding it guards against — is TPU-specific; tiled always wins there).
+# Override with GAN_TPU_FLAT_CACHE_MAX (bytes).
+FLAT_CACHE_SAFE_BYTES = 4_200_000_000
 
 
 def device_cache_fits(nbytes: int, mesh, *, fraction: float = 0.4) -> bool:
@@ -68,6 +80,86 @@ def device_cache_fits(nbytes: int, mesh, *, fraction: float = 0.4) -> bool:
     if dev.platform != "tpu":
         safe = fraction * limit  # the fault is TPU-stack-specific
     return per_dev <= min(fraction * limit, safe)
+
+
+def flat_cache_budget(mesh, *, fraction: float = 0.27) -> int:
+    """Per-device byte budget for FLAT-stored caches (FLAT_CACHE_SAFE_BYTES
+    — see its comment; env-overridable via GAN_TPU_FLAT_CACHE_MAX; 0 off-TPU
+    where there is no fault ceiling and tiled storage always wins). The
+    ``fraction`` cap (applied only when the backend reports a memory limit)
+    reflects flat storage's ~2× HBM footprint: cache arguments plus XLA's
+    in-program repack."""
+    import os
+
+    env = os.environ.get("GAN_TPU_FLAT_CACHE_MAX")
+    if env is not None:
+        return int(env)
+    dev = mesh.devices.flat[0]
+    if dev.platform != "tpu":
+        return 0
+    safe = FLAT_CACHE_SAFE_BYTES
+    try:
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            safe = min(safe, int(fraction * stats["bytes_limit"]))
+    except Exception:
+        pass
+    return safe
+
+
+def flat_cache_fits(nbytes: int, mesh, *, fraction: float = 0.27) -> bool:
+    """True when a FLAT-stored cache of ``nbytes`` raw bytes (sharded over
+    the mesh) stays under the per-device flat budget (flat_cache_budget)."""
+    return nbytes / max(1, mesh.size) <= flat_cache_budget(mesh,
+                                                           fraction=fraction)
+
+
+def plan_cache_storage(groups, mesh, mode: str = "auto") -> list[str]:
+    """Per-group device-cache storage plan: ``'tiled' | 'flat' | 'stream'``.
+
+    ``groups``: one entry per cache group that must share a decision (a
+    CycleGAN epoch zips train_x with train_y, so they cache or stream
+    together); each entry is a list of array shapes, or ``None`` to force
+    streaming (FileCache corpora are never device-resident whole).
+
+    Tiers (``mode`` = --device-cache auto|on|off):
+      * tiled — fastest (no per-batch reshape); taken when every group fits
+        tile-padded under the round-2 fault ceiling (device_cache_fits).
+      * flat  — ~8% slower epochs, ~35% more rows per byte (no tile
+        padding); taken when raw bytes fit under FLAT_CACHE_SAFE_BYTES.
+        ``mode='on'`` forces at least this tier for every array group.
+      * stream — host-streamed epochs, throughput bound by host→device
+        bandwidth (65 MB/s over the axon tunnel — benchmarks/transfer_bench
+        .py); when only some groups fit, the LARGEST groups take the flat
+        budget first (caching the train set matters most).
+    """
+    from gan_tpu.train import loop
+
+    n = len(groups)
+    if mode == "off":
+        return ["stream"] * n
+    tiled = [None if g is None else
+             sum(loop.padded_cache_nbytes(s) for s in g) for g in groups]
+    flat = [None if g is None else
+            sum(loop.flat_cache_nbytes(s) for s in g) for g in groups]
+    cacheable = [i for i in range(n) if groups[i] is not None]
+    plan = ["stream"] * n
+    if cacheable:
+        if device_cache_fits(sum(tiled[i] for i in cacheable), mesh):
+            tier = "tiled"
+        elif mode == "on" or flat_cache_fits(
+                sum(flat[i] for i in cacheable), mesh):
+            tier = "flat"
+        else:
+            total = 0
+            for i in sorted(cacheable, key=lambda i: -flat[i]):
+                if flat_cache_fits(total + flat[i], mesh):
+                    plan[i] = "flat"
+                    total += flat[i]
+            return plan
+        for i in cacheable:
+            plan[i] = tier
+    return plan
 
 
 class StreamingLoader:

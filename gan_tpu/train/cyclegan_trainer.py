@@ -406,15 +406,15 @@ class CycleGANTrainer:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
 
-    def _cache_fits(self, *caches) -> bool:
-        from gan_tpu.data.loader import FileCache, device_cache_fits
-        if any(isinstance(c, FileCache) for c in caches):
-            return False  # file-streamed corpora never land in HBM whole
-        mode = self.config.device_cache
-        if mode in ("on", "off"):
-            return mode == "on"
-        padded = sum(loop.padded_cache_nbytes(c.shape) for c in caches)
-        return device_cache_fits(padded, self.mesh)
+    def _storage_plan(self, train_pair, val_pair) -> list[str]:
+        """Storage plan for the (train_x, train_y) and (val_x, val_y) groups
+        — each zipped pair caches or streams TOGETHER (the epoch runner zips
+        the domains); FileCache corpora always stream. Returns two of
+        'tiled'|'flat'|'stream' (data.loader.plan_cache_storage)."""
+        from gan_tpu.data.loader import FileCache, plan_cache_storage
+        groups = [None if any(isinstance(c, FileCache) for c in g)
+                  else [c.shape for c in g] for g in (train_pair, val_pair)]
+        return plan_cache_storage(groups, self.mesh, self.config.device_cache)
 
     # ---------------------------------------------------------------- public
     def fit(self, train_x: np.ndarray, train_y: np.ndarray, val_x: np.ndarray,
@@ -429,15 +429,17 @@ class CycleGANTrainer:
 
         example = np.asarray(normalize_batch(test_cache[:1].astype(np.float32)))
 
-        streaming = not self._cache_fits(train_x, train_y, val_x, val_y)
-        if streaming:
-            print("Device cache disabled — streaming batches from host.", flush=True)
-            caches_train = caches_val = None
-        else:
-            caches_train = {"x": loop.put_cache(train_x, self.mesh),
-                            "y": loop.put_cache(train_y, self.mesh)}
-            caches_val = {"x": loop.put_cache(val_x, self.mesh),
-                          "y": loop.put_cache(val_y, self.mesh)}
+        plan = self._storage_plan((train_x, train_y), (val_x, val_y))
+        if "stream" in plan or "flat" in plan:
+            print(f"Device cache plan: train={plan[0]}, val={plan[1]} "
+                  "(stream = batches fed from host).", flush=True)
+        caches_train = caches_val = None
+        if plan[0] != "stream":
+            caches_train = {"x": loop.put_cache(train_x, self.mesh, storage=plan[0]),
+                            "y": loop.put_cache(train_y, self.mesh, storage=plan[0])}
+        if plan[1] != "stream":
+            caches_val = {"x": loop.put_cache(val_x, self.mesh, storage=plan[1]),
+                          "y": loop.put_cache(val_y, self.mesh, storage=plan[1])}
 
         start = time.time()
         rng = np.random.default_rng(cfg.seed)
@@ -453,7 +455,7 @@ class CycleGANTrainer:
             ek = jax.random.fold_in(base_key, epoch)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
-                if streaming:
+                if caches_train is None:
                     tr = self._run_epoch_streaming(train_x, train_y,
                                                    jax.random.fold_in(ek, 0),
                                                    training=True, rng=rng)
@@ -470,7 +472,7 @@ class CycleGANTrainer:
                 print(f"[perf] epoch {epoch + 1}: {ips:.1f} image-pairs/sec "
                       f"({ips / self.mesh.size:.1f}/chip)", flush=True)
             print("." * (tr.shape[0] // 100), end="", flush=True)
-            if streaming:
+            if caches_val is None:
                 va = self._run_epoch_streaming(val_x, val_y,
                                                jax.random.fold_in(ek, 1),
                                                training=False, rng=rng)

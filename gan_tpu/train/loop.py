@@ -136,8 +136,35 @@ def make_sharded_step(mesh, prep_fn: Callable, step_fn: Callable, *,
     return jax.jit(sm)
 
 
+@jax.tree_util.register_pytree_node_class
+class FlatCache:
+    """Device cache stored FLAT — (N_pad, row_bytes) uint8 chunks, original
+    sample shape kept as static aux. Flat storage has no (8, 128) image-tile
+    padding (row_bytes rounds to the next 128 lanes — <0.1% vs the tiled
+    layout's 1.35× at 286²), so ~35% more rows fit under the device-resident
+    fault ceiling (loader.DEVICE_CACHE_SAFE_BYTES); rows are reshaped to
+    image form per batch AFTER the gather (~MBs per step, not the whole
+    cache). Leaves (the chunks) stripe P('data') on axis 0 exactly like
+    tiled caches, so shard_map in_specs need no change."""
+
+    def __init__(self, chunks, sample_shape):
+        self.chunks = tuple(chunks)
+        self.sample_shape = tuple(sample_shape)
+
+    def tree_flatten(self):
+        return self.chunks, self.sample_shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, aux)
+
+
 def fetch_rows(cache, idxs, mode: str):
     """Gather ``idxs`` rows of the leading axis.
+
+    ``cache`` may be a :class:`FlatCache` — rows are gathered from the flat
+    (N_pad, row_bytes) chunks and reshaped to sample form afterwards, so
+    only the batch (not the cache) ever changes layout in-program.
 
     * ``contig`` — rows are consecutive ascending (fixed-order epochs):
       one dynamic slice starting at idxs[0].
@@ -151,6 +178,17 @@ def fetch_rows(cache, idxs, mode: str):
     lives in chunk i // lk at offset i % lk; every chunk is gathered at the
     batch's offsets (a few ms each) and the right rows selected — exact, and
     cheap next to a train step."""
+    if isinstance(cache, FlatCache):
+        rows = fetch_rows(cache.chunks if len(cache.chunks) > 1
+                          else cache.chunks[0], idxs, mode)
+        # The barrier stops XLA's layout assignment from propagating the
+        # image-tiled layout the reshape consumer wants back through the
+        # gather to the cache operand — without it the WHOLE cache is
+        # relaid as an in-program temp (measured 4.13 GB at 25.5k rows,
+        # defeating flat storage); with it only the gathered batch pays a
+        # per-step relayout (~MBs).
+        rows = jax.lax.optimization_barrier(rows)
+        return rows.reshape((idxs.shape[0],) + cache.sample_shape)
     if isinstance(cache, (tuple, list)):
         lk = cache[0].shape[0]
         cid = idxs // lk
@@ -240,9 +278,25 @@ def _chunk_local(arr: np.ndarray, ndev: int, n_chunks: int) -> list[np.ndarray]:
     return chunks
 
 
-def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False):
+def flat_cache_nbytes(shape) -> int:
+    """Device-resident size of a uint8 cache stored flat (FlatCache):
+    per-row bytes round up to the 128-lane tile; the leading dim to the
+    32-sublane tile. <0.1% padding at 256²-class rows (vs 1.35× tiled)."""
+    n = shape[0]
+    row = int(np.prod(shape[1:]))
+    return (-(-n // 32) * 32) * (-(-row // 128) * 128)
+
+
+def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
+              storage: str = "tiled"):
     """Device-put a host cache striped over the mesh (see stripe_order); at
     mesh size 1 the striping is the identity order.
+
+    ``storage="flat"`` stores rows flattened to (N, row_bytes) — returned as
+    a :class:`FlatCache` — trading the tiled layout's 1.35× padding for a
+    per-batch post-gather reshape. Use when the tile-padded form exceeds the
+    device-resident ceiling but the raw bytes do not (data.loader
+    plan_cache_storage decides).
 
     Returns one array, or a tuple of equal-shape chunk arrays when a single
     per-device buffer would exceed CHUNK_LIMIT_BYTES tile-padded (runtime
@@ -280,7 +334,11 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False):
         l = max(1, cache_np.shape[0] // ndev)
         global_rows = None
 
-    per_shard = padded_cache_nbytes((l,) + cache_np.shape[1:])
+    sample_shape = cache_np.shape[1:]
+    if storage == "flat":
+        cache_np = cache_np.reshape(cache_np.shape[0], -1)
+    size_fn = flat_cache_nbytes if storage == "flat" else padded_cache_nbytes
+    per_shard = size_fn((l,) + cache_np.shape[1:])
     n_chunks = max(1, -(-per_shard // CHUNK_LIMIT_BYTES))
     if n_chunks > 1 and process_local and multiproc:
         raise NotImplementedError(
@@ -292,7 +350,7 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False):
              else _chunk_local(cache_np, ndev, n_chunks))
 
     relayout = None
-    m2m = _preferred_cache_layout(cache_np.ndim)
+    m2m = None if storage == "flat" else _preferred_cache_layout(cache_np.ndim)
     if (m2m is not None and cache_np.dtype == np.uint8
             and mesh.devices.flat[0].platform == "tpu"
             and os.environ.get("GAN_TPU_CACHE_LAYOUT") != "off"):
@@ -306,6 +364,8 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False):
         if relayout is not None:
             arr = relayout(arr)
         out.append(arr)
+    if storage == "flat":
+        return FlatCache(out, sample_shape)
     return out[0] if n_chunks == 1 else tuple(out)
 
 

@@ -329,15 +329,13 @@ class Pix2PixTrainer:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
 
-    def _cache_fits(self, *caches) -> bool:
-        from gan_tpu.data.loader import FileCache, device_cache_fits
-        if any(isinstance(c, FileCache) for c in caches):
-            return False  # file-streamed corpora never land in HBM whole
-        mode = self.config.device_cache
-        if mode in ("on", "off"):
-            return mode == "on"
-        padded = sum(loop.padded_cache_nbytes(c.shape) for c in caches)
-        return device_cache_fits(padded, self.mesh)
+    def _storage_plan(self, *caches) -> list[str]:
+        """Per-cache device-storage plan ('tiled'|'flat'|'stream') —
+        data.loader.plan_cache_storage; FileCache corpora always stream."""
+        from gan_tpu.data.loader import FileCache, plan_cache_storage
+        groups = [None if isinstance(c, FileCache) else [c.shape]
+                  for c in caches]
+        return plan_cache_storage(groups, self.mesh, self.config.device_cache)
 
     # ---------------------------------------------------------------- public
     def fit(self, train_cache: np.ndarray, val_cache: np.ndarray,
@@ -355,13 +353,14 @@ class Pix2PixTrainer:
         example = normalize_batch(test_cache[:1].astype(np.float32))
         example_input, example_target = np.asarray(example[:, 0]), np.asarray(example[:, 1])
 
-        streaming = not self._cache_fits(train_cache, val_cache)
-        if streaming:
-            print("Device cache disabled — streaming batches from host.", flush=True)
-            train_dev, val_dev = None, None
-        else:
-            train_dev = loop.put_cache(train_cache, self.mesh)
-            val_dev = loop.put_cache(val_cache, self.mesh)
+        plan = self._storage_plan(train_cache, val_cache)
+        if "stream" in plan or "flat" in plan:
+            print(f"Device cache plan: train={plan[0]}, val={plan[1]} "
+                  "(stream = batches fed from host).", flush=True)
+        train_dev = (None if plan[0] == "stream"
+                     else loop.put_cache(train_cache, self.mesh, storage=plan[0]))
+        val_dev = (None if plan[1] == "stream"
+                   else loop.put_cache(val_cache, self.mesh, storage=plan[1]))
         n_train, n_val = train_cache.shape[0], val_cache.shape[0]
 
         start = time.time()
@@ -378,7 +377,7 @@ class Pix2PixTrainer:
             ek = jax.random.fold_in(base_key, epoch)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
-                if streaming:
+                if train_dev is None:
                     tr = self._run_epoch_streaming(train_cache,
                                                    jax.random.fold_in(ek, 0),
                                                    training=True)
@@ -392,7 +391,7 @@ class Pix2PixTrainer:
                 print(f"[perf] epoch {epoch + 1}: {ips:.1f} images/sec "
                       f"({ips / self.mesh.size:.1f}/chip)", flush=True)
             print("." * (tr.shape[0] // 100), end="", flush=True)
-            if streaming:
+            if val_dev is None:
                 va = self._run_epoch_streaming(val_cache,
                                                jax.random.fold_in(ek, 1),
                                                training=False)
