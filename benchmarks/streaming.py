@@ -1,23 +1,31 @@
 #!/usr/bin/env python3
-"""Host-streaming throughput at reference scale (round-2 VERDICT item 1).
+"""Beyond-tiled-ceiling throughput at reference scale (round-2 VERDICT #1).
 
-The empirical device-cache ceiling is 3.5 GB/device (data/loader.py:
-DEVICE_CACHE_SAFE_BYTES — the axon worker faults above ~4.4 GB), so the REAL
-reference corpus (25,446 Pix2Pix pairs ≈ 5.6 GB tile-padded at 286²) cannot
-device-cache on one chip: a user training it single-chip takes the
-host-streaming path. This benchmark measures that path:
+The tile-padded device-cache ceiling is 3.5 GB/device (data/loader.py:
+DEVICE_CACHE_SAFE_BYTES), which the REAL reference corpus (25,472 Pix2Pix
+pairs ≈ 5.63 GB tile-padded at 286²) exceeds. Round 3 resolved that tier by
+tier — measure each here:
 
-  * ``hostarray``  — decoded-once host uint8 cache, streamed per batch
-    (--device-cache off equivalent): per-step host work is slice + stripe
-    + device transfer, overlapped with device compute via
-    loader.prefetch_iter. The configuration the reference corpus actually
-    hits on one chip.
+  * ``flatcache``  — the full corpus device-resident in FLAT storage
+    (train/loop.py FlatCache, 4.17 GB raw — fits under the argument-bytes
+    fault boundary). The configuration the reference corpus now actually
+    hits on one chip: measured 1,356 img/s/chip round 3.
+  * ``hybrid``     — resident flat prefix + streamed tail
+    (trainer._run_epoch_hybrid) for corpora beyond even flat storage (512²,
+    C=3). Tail transfers overlap the prefix scan. Pass the flat budget via
+    GAN_TPU_FLAT_CACHE_MAX to emulate any resident fraction.
+  * ``hostarray``  — pure streaming from a decoded host uint8 cache
+    (--device-cache off): bound by host→device bandwidth — 65-72 MB/s over
+    the axon tunnel ⇒ ~400 img/s ceiling at 256²
+    (benchmarks/transfer_bench.py has the full bottleneck analysis).
   * ``filecache``  — per-step file decode (FileCache background threads),
     for corpora beyond host RAM. On this 1-core host it is decode-bound —
     see ``decode`` for the ceiling.
   * ``decode``     — standalone native C++ decoder throughput (pairs/s) on
     the same files: the upper bound any file-streaming path can sustain.
   * ``cyclegan``   — CycleGAN dual-domain host-array streaming.
+  * ``cyclegan_flat`` — CycleGAN reference scale (25.4k/domain, 4.16 GB
+    total) fully device-resident flat.
 
 Usage: python benchmarks/streaming.py MODE [n_imgs] [batch] [img_size]
 Prints one JSON line per run (same schema as bench.py).
@@ -105,6 +113,75 @@ def run_hostarray(n: int, batch: int, img_size: int, epochs: int = 2) -> dict:
             "vs_baseline": round(ips / n_dev / 250.0, 4)}
 
 
+def run_flatcache(n: int, batch: int, img_size: int, epochs: int = 3) -> dict:
+    """Full corpus device-resident in FLAT storage — scanned epochs."""
+    from gan_tpu.train import loop
+
+    trainer, n_dev = _pix2pix_trainer(batch, img_size)
+    src = img_size + JITTER_PAD
+    rng = np.random.default_rng(0)
+    cache = rng.integers(0, 255, (n, 2, src, src, 1), np.uint8)
+    print(f"host cache: {cache.nbytes/1e9:.2f} GB ({n} pairs)",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    dev = loop.put_cache(cache, trainer.mesh, storage="flat")
+    jax.block_until_ready(dev.strips)
+    print(f"put_cache(flat): {time.perf_counter()-t0:.1f} s "
+          f"({len(dev.strips)} strips)", file=sys.stderr, flush=True)
+    key = jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(0)
+    trainer._run_epoch(dev, cache, key, training=True, fixed_order=True,
+                       rng=host_rng)  # compile+warm
+    _sync(trainer.params)
+    times = []
+    for e in range(epochs):
+        t0 = time.perf_counter()
+        trainer._run_epoch(dev, cache, jax.random.fold_in(key, e + 1),
+                           training=True, fixed_order=True, rng=host_rng)
+        _sync(trainer.params)
+        times.append(time.perf_counter() - t0)
+    ips = n / float(np.median(times))
+    return {"metric": f"pix2pix_flatcache_imgs_per_sec_per_chip_{img_size}",
+            "value": round(ips / n_dev, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / n_dev / 250.0, 4)}
+
+
+def run_hybrid(n: int, batch: int, img_size: int, epochs: int = 2) -> dict:
+    """Resident flat prefix + streamed tail; budget via GAN_TPU_FLAT_CACHE_MAX
+    (defaults to the production FLAT_CACHE_SAFE_BYTES on TPU)."""
+    from gan_tpu.train import loop
+
+    trainer, n_dev = _pix2pix_trainer(batch, img_size)
+    src = img_size + JITTER_PAD
+    rng = np.random.default_rng(0)
+    cache = rng.integers(0, 255, (n, 2, src, src, 1), np.uint8)
+    n_res = trainer._hybrid_resident_rows(cache)
+    print(f"host cache: {cache.nbytes/1e9:.2f} GB ({n} pairs); resident "
+          f"prefix {n_res} rows ({n_res/max(n,1):.0%})",
+          file=sys.stderr, flush=True)
+    if not (0 < n_res < n):
+        raise SystemExit("hybrid needs 0 < resident < n; set "
+                         "GAN_TPU_FLAT_CACHE_MAX or sizes accordingly")
+    res_host = cache[:n_res]
+    dev = loop.put_cache(res_host, trainer.mesh, storage="flat")
+    key = jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(0)
+    trainer._run_epoch_hybrid(dev, res_host, cache, key, training=True,
+                              rng=host_rng)  # compile+warm
+    _sync(trainer.params)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._run_epoch_hybrid(dev, res_host, cache,
+                                  jax.random.fold_in(key, e + 1),
+                                  training=True, rng=host_rng)
+    _sync(trainer.params)
+    ips = epochs * n / (time.perf_counter() - t0)
+    return {"metric": f"pix2pix_hybrid_imgs_per_sec_per_chip_{img_size}",
+            "value": round(ips / n_dev, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(ips / n_dev / 250.0, 4),
+            "resident_rows": n_res, "total_rows": n}
+
+
 def run_filecache(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
     from gan_tpu.data.loader import FileCache
     from gan_tpu.data.pipeline import build_pix2pix_cache
@@ -152,6 +229,50 @@ def run_decode(n: int, batch: int, img_size: int) -> dict:
             "vs_baseline": round(ips / 250.0, 4)}
 
 
+def _cyclegan_trainer(batch: int, img_size: int):
+    from gan_tpu.config import CycleGANConfig
+    from gan_tpu.train.cyclegan_trainer import CycleGANTrainer
+
+    n_dev = len(jax.devices())
+    cfg = CycleGANConfig(input_images="", target_images="", output="",
+                         img_size=img_size, batch_size=batch, train=True,
+                         epochs=1, dtype="bf16", num_devices=n_dev)
+    cfg.validate()
+    return CycleGANTrainer(cfg), n_dev
+
+
+def run_cyclegan_flat(n: int, batch: int, img_size: int, epochs: int = 2) -> dict:
+    """CycleGAN reference scale fully device-resident flat (both domains)."""
+    from gan_tpu.train import loop
+
+    trainer, n_dev = _cyclegan_trainer(batch, img_size)
+    src = img_size + JITTER_PAD
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (n, src, src, 1), np.uint8)
+    y = rng.integers(0, 255, (n, src, src, 1), np.uint8)
+    print(f"host caches: {2*x.nbytes/1e9:.2f} GB ({n}/domain)",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    caches = {"x": loop.put_cache(x, trainer.mesh, storage="flat"),
+              "y": loop.put_cache(y, trainer.mesh, storage="flat")}
+    jax.block_until_ready([c.strips for c in caches.values()])
+    print(f"put_cache(flat) x2: {time.perf_counter()-t0:.1f} s",
+          file=sys.stderr, flush=True)
+    key = jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(0)
+    trainer._run_epoch(caches, x, y, key, training=True, rng=host_rng)
+    _sync(trainer.params)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._run_epoch(caches, x, y, jax.random.fold_in(key, e + 1),
+                           training=True, rng=host_rng)
+    _sync(trainer.params)
+    pps = epochs * n / (time.perf_counter() - t0)
+    return {"metric": f"cyclegan_flatcache_pairs_per_sec_per_chip_{img_size}",
+            "value": round(pps / n_dev, 2), "unit": "image-pairs/sec/chip",
+            "vs_baseline": round(pps / n_dev / 250.0, 4)}
+
+
 def run_cyclegan(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
     from gan_tpu.config import CycleGANConfig
     from gan_tpu.train.cyclegan_trainer import CycleGANTrainer
@@ -189,5 +310,7 @@ if __name__ == "__main__":
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     img = int(sys.argv[4]) if len(sys.argv) > 4 else 256
     fn = {"hostarray": run_hostarray, "filecache": run_filecache,
-          "decode": run_decode, "cyclegan": run_cyclegan}[mode]
+          "decode": run_decode, "cyclegan": run_cyclegan,
+          "flatcache": run_flatcache, "hybrid": run_hybrid,
+          "cyclegan_flat": run_cyclegan_flat}[mode]
     print(json.dumps(fn(n, batch, img)))

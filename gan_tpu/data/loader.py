@@ -269,13 +269,18 @@ def prefetch_iter(it, depth: int = 2):
     ``prefetch(AUTOTUNE)`` plays in the reference, pix2pix.py:155-163).
     Exceptions in the producer re-raise at the consumer. ``depth=0`` (or
     GAN_TPU_PREFETCH_DEPTH=0) degrades to synchronous passthrough — the
-    measurement baseline for the prefetch gain."""
+    measurement baseline for the prefetch gain.
+
+    The producer thread starts at CALL time, not first iteration — hybrid
+    epochs (trainer ``_run_epoch_hybrid``) rely on this to overlap the
+    streamed tail's host→device transfers with the resident scan's device
+    compute (transfers proceed during kernel execution on the axon stack —
+    measured in benchmarks/transfer_bench.py)."""
     import os
 
     depth = int(os.environ.get("GAN_TPU_PREFETCH_DEPTH", depth))
     if depth <= 0:
-        yield from it
-        return
+        return iter(it)
     q: queue.Queue = queue.Queue(maxsize=depth)
 
     def run():
@@ -287,13 +292,17 @@ def prefetch_iter(it, depth: int = 2):
             q.put(e)
 
     threading.Thread(target=run, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+
+    def drain():
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return drain()
 
 
 def _rebatch(batches, batch_size: int):

@@ -136,23 +136,39 @@ def make_sharded_step(mesh, prep_fn: Callable, step_fn: Callable, *,
     return jax.jit(sm)
 
 
+# XLA:TPU lowers a gather over wide uint8 rows as "mini-gathers" over
+# <=32,768-byte column slices of the operand; when the operand is a single
+# wide parameter, those loop-invariant slices MATERIALIZE as temps the size
+# of the whole cache (read from the optimized HLO, round 3 — doubling flat
+# storage's HBM cost). Pre-splitting the cache into strips of exactly this
+# width at put time makes each mini-gather consume a parameter directly:
+# measured, the cache-sized temp disappears.
+FLAT_STRIP_BYTES = 32_768
+
+
 @jax.tree_util.register_pytree_node_class
 class FlatCache:
-    """Device cache stored FLAT — (N_pad, row_bytes) uint8 chunks, original
-    sample shape kept as static aux. Flat storage has no (8, 128) image-tile
-    padding (row_bytes rounds to the next 128 lanes — <0.1% vs the tiled
-    layout's 1.35× at 286²), so ~35% more rows fit under the device-resident
-    fault ceiling (loader.DEVICE_CACHE_SAFE_BYTES); rows are reshaped to
-    image form per batch AFTER the gather (~MBs per step, not the whole
-    cache). Leaves (the chunks) stripe P('data') on axis 0 exactly like
-    tiled caches, so shard_map in_specs need no change."""
+    """Device cache stored FLAT — rows as raw uint8 bytes, original sample
+    shape kept as static aux. Flat storage has no (8, 128) image-tile
+    padding (strip widths round to 128 lanes — <0.1% vs the tiled layout's
+    1.35× at 286²), so ~35% more rows fit under the device-resident fault
+    ceiling (loader.DEVICE_CACHE_SAFE_BYTES); rows are reshaped to image
+    form per batch AFTER the gather (~MBs per step, not the whole cache).
 
-    def __init__(self, chunks, sample_shape):
-        self.chunks = tuple(chunks)
+    Storage is two-level: ``strips`` is a tuple over COLUMN strips (each
+    ≤ FLAT_STRIP_BYTES wide — matching XLA's mini-gather slicing, see
+    above); each entry is one (rows, width) array, or a tuple of row-chunk
+    arrays when a single buffer would exceed CHUNK_LIMIT_BYTES. Every leaf
+    stripes P('data') on axis 0 exactly like tiled caches, so shard_map
+    in_specs need no change."""
+
+    def __init__(self, strips, sample_shape):
+        self.strips = tuple(tuple(s) if isinstance(s, (tuple, list)) else s
+                            for s in strips)
         self.sample_shape = tuple(sample_shape)
 
     def tree_flatten(self):
-        return self.chunks, self.sample_shape
+        return self.strips, self.sample_shape
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -179,15 +195,8 @@ def fetch_rows(cache, idxs, mode: str):
     batch's offsets (a few ms each) and the right rows selected — exact, and
     cheap next to a train step."""
     if isinstance(cache, FlatCache):
-        rows = fetch_rows(cache.chunks if len(cache.chunks) > 1
-                          else cache.chunks[0], idxs, mode)
-        # The barrier stops XLA's layout assignment from propagating the
-        # image-tiled layout the reshape consumer wants back through the
-        # gather to the cache operand — without it the WHOLE cache is
-        # relaid as an in-program temp (measured 4.13 GB at 25.5k rows,
-        # defeating flat storage); with it only the gathered batch pays a
-        # per-step relayout (~MBs).
-        rows = jax.lax.optimization_barrier(rows)
+        parts = [fetch_rows(s, idxs, mode) for s in cache.strips]
+        rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         return rows.reshape((idxs.shape[0],) + cache.sample_shape)
     if isinstance(cache, (tuple, list)):
         lk = cache[0].shape[0]
@@ -358,14 +367,25 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
         fmt = Format(Layout(major_to_minor=m2m), batch_sharding(mesh))
         relayout = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=0)
 
+    if storage == "flat":
+        # column strips of FLAT_STRIP_BYTES so XLA's mini-gathers consume
+        # parameters directly instead of materializing cache-sized slice
+        # temps (see FLAT_STRIP_BYTES)
+        r = cache_np.shape[1]
+        strips = []
+        for lo in range(0, r, FLAT_STRIP_BYTES):
+            sl = [put_global(np.ascontiguousarray(p[:, lo:lo + FLAT_STRIP_BYTES]),
+                             batch_sharding(mesh), global_rows=global_rows)
+                  for p in parts]
+            strips.append(sl[0] if n_chunks == 1 else tuple(sl))
+        return FlatCache(strips, sample_shape)
+
     out = []
     for p in parts:
         arr = put_global(p, batch_sharding(mesh), global_rows=global_rows)
         if relayout is not None:
             arr = relayout(arr)
         out.append(arr)
-    if storage == "flat":
-        return FlatCache(out, sample_shape)
     return out[0] if n_chunks == 1 else tuple(out)
 
 

@@ -281,29 +281,28 @@ class Pix2PixTrainer:
                 self.mesh, prep, step, training=training)
         return self._stream_fns[training]
 
-    def _run_epoch_streaming(self, cache, epoch_key, *, training: bool):
-        """Host-streamed epoch: batches come from host RAM
-        (``--device-cache off`` / cache too big for HBM) or straight from
-        files (a data.loader.FileCache — corpora bigger than host RAM,
-        replacing tf.data's disk streaming, pix2pix.py:155-163). Full batches
-        are sharded over the mesh and stepped through the same psum'd DP step
-        as the cached path (identical RNG streams — see make_sharded_step);
-        the partial tail batch runs replicated."""
+    def _stream_batches(self, cache, *, start_row: int = 0, depth: int = 2):
+        """Prefetched (step, device_array, is_full) stream over ``cache``
+        rows [start_row:) — the host half of a streamed epoch. Batch
+        assembly + ``device_put`` run in the prefetch thread, overlapping
+        device compute (the producer starts at CALL time — hybrid epochs
+        lean on that to transfer the tail during the resident scan). Full
+        batches are stripe-reordered so device d's block holds rows ≡ d
+        (mod ndev), matching put_cache striping: per-sample augment/dropout
+        RNG pairing and per-device BN stats then equal the cached epoch's at
+        any per-device batch size (see make_sharded_step)."""
         from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
 
         b = self.config.batch_size
         ndev = self.mesh.size
         stripe = loop.stripe_order(b, ndev) if ndev > 1 else None
-        fn = self._get_stream_fn(training)
+        start_step = start_row // b
+        order = (None if start_row == 0
+                 else np.arange(start_row, cache.shape[0]))
 
         def produce():
-            """Assemble + device_put batches (runs in the prefetch thread —
-            overlaps the current step's device compute). Full batches are
-            stripe-reordered so device d's block holds rows ≡ d (mod ndev),
-            matching put_cache striping: per-sample augment/dropout RNG
-            pairing and per-device BN stats then equal the cached epoch's at
-            any per-device batch size (see make_sharded_step)."""
-            for step, batch_u8 in enumerate(iter_uint8_batches(cache, b)):
+            for step, batch_u8 in enumerate(iter_uint8_batches(cache, b, order),
+                                            start=start_step):
                 if batch_u8.shape[0] == b and batch_u8.shape[0] % ndev == 0:
                     if stripe is not None:
                         batch_u8 = batch_u8[stripe]
@@ -312,8 +311,14 @@ class Pix2PixTrainer:
                 else:
                     yield step, batch_u8, False
 
+        return prefetch_iter(produce(), depth=depth)
+
+    def _consume_stream(self, batches, epoch_key, training: bool) -> list:
+        """Run the sharded DP step over prefetched (step, arr, full) items;
+        the partial tail batch runs replicated. Returns per-step losses."""
+        fn = self._get_stream_fn(training)
         losses = []
-        for step, arr, full in prefetch_iter(produce(), depth=2):
+        for step, arr, full in batches:
             if full:
                 key = jax.random.fold_in(epoch_key, step)
                 if training:
@@ -325,9 +330,66 @@ class Pix2PixTrainer:
             else:
                 losses.append(self._run_remainder(arr, epoch_key, step,
                                                   training))
+        return losses
+
+    def _run_epoch_streaming(self, cache, epoch_key, *, training: bool):
+        """Host-streamed epoch: batches come from host RAM
+        (``--device-cache off`` / cache too big for HBM) or straight from
+        files (a data.loader.FileCache — corpora bigger than host RAM,
+        replacing tf.data's disk streaming, pix2pix.py:155-163). Full batches
+        are sharded over the mesh and stepped through the same psum'd DP step
+        as the cached path (identical RNG streams — see make_sharded_step);
+        the partial tail batch runs replicated. Throughput is bound by
+        host→device bandwidth (~65 MB/s over the axon tunnel ⇒ ~400 img/s
+        ceiling at 256² — benchmarks/transfer_bench.py); prefer the flat or
+        hybrid device caches whenever rows fit."""
+        losses = self._consume_stream(self._stream_batches(cache),
+                                      epoch_key, training)
         if not losses:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
+
+    def _run_epoch_hybrid(self, resident_dev, resident_host, cache, epoch_key,
+                          *, training: bool, rng: np.random.Generator):
+        """Resident-prefix + streamed-tail epoch for corpora beyond the flat
+        device budget (e.g. the reference 512² corpus: 14.9 GB flat).
+
+        Rows [0, n_res) — n_res a multiple of the global batch — live
+        device-resident (FlatCache) and run as the usual scanned epoch;
+        rows [n_res, N) stream from host. Because Pix2Pix epochs are
+        fixed-order (the reference shuffles once at split time,
+        pix2pix.py:147), batch composition and per-step RNG streams are
+        EXACTLY a fully cached epoch's: batches s < n_res/B come from the
+        scan, later ones from the stream, the partial tail runs replicated.
+        The tail producer starts before the scan is dispatched, so its
+        host→device transfers (the streamed path's bottleneck) overlap the
+        scan's device compute; epoch wall-clock ≈ max(compute,
+        tail-transfer) instead of their sum."""
+        n_res = resident_host.shape[0]
+        assert n_res % self.config.batch_size == 0
+        tail = self._stream_batches(cache, start_row=n_res,
+                                    depth=int(os.environ.get(
+                                        "GAN_TPU_HYBRID_DEPTH", "16")))
+        head = self._run_epoch(resident_dev, resident_host, epoch_key,
+                               training=training, fixed_order=True, rng=rng)
+        tail_losses = self._consume_stream(tail, epoch_key, training)
+        parts = ([head] if head.shape[0] else []) + \
+            [np.asarray(l).reshape(1, -1) for l in tail_losses]
+        if not parts:
+            return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
+        return np.concatenate(parts, axis=0)
+
+    def _hybrid_resident_rows(self, cache, reserved_bytes: int = 0) -> int:
+        """Largest batch-multiple row prefix of ``cache`` that fits the flat
+        device budget (minus ``reserved_bytes`` taken by other cached
+        groups); 0 disables the hybrid path (pure streaming)."""
+        from gan_tpu.data.loader import flat_cache_budget
+        budget = flat_cache_budget(self.mesh) * self.mesh.size - reserved_bytes
+        row = -(-int(np.prod(cache.shape[1:])) // 128) * 128
+        b = self.config.batch_size
+        if budget <= 0 or row <= 0:
+            return 0
+        return max(0, min(int(budget // row), cache.shape[0]) // b * b)
 
     def _storage_plan(self, *caches) -> list[str]:
         """Per-cache device-storage plan ('tiled'|'flat'|'stream') —
@@ -354,13 +416,28 @@ class Pix2PixTrainer:
         example_input, example_target = np.asarray(example[:, 0]), np.asarray(example[:, 1])
 
         plan = self._storage_plan(train_cache, val_cache)
-        if "stream" in plan or "flat" in plan:
-            print(f"Device cache plan: train={plan[0]}, val={plan[1]} "
-                  "(stream = batches fed from host).", flush=True)
-        train_dev = (None if plan[0] == "stream"
-                     else loop.put_cache(train_cache, self.mesh, storage=plan[0]))
         val_dev = (None if plan[1] == "stream"
                    else loop.put_cache(val_cache, self.mesh, storage=plan[1]))
+        train_dev, train_res_host = None, None
+        if plan[0] != "stream":
+            train_dev = loop.put_cache(train_cache, self.mesh, storage=plan[0])
+        else:
+            # hybrid: device-cache the largest batch-multiple prefix that
+            # fits the flat budget left over by the val cache; stream the
+            # tail (its transfers overlap the prefix scan's compute)
+            reserved = (loop.flat_cache_nbytes(val_cache.shape)
+                        if plan[1] == "flat" else 0)
+            n_res = self._hybrid_resident_rows(train_cache, reserved)
+            if n_res:
+                plan[0] = f"hybrid({n_res} rows resident)"
+                train_res_host = (train_cache[:n_res]
+                                  if isinstance(train_cache, np.ndarray)
+                                  else train_cache.rows(np.arange(n_res)))
+                train_dev = loop.put_cache(train_res_host, self.mesh,
+                                           storage="flat")
+        if any(p != "tiled" for p in plan):
+            print(f"Device cache plan: train={plan[0]}, val={plan[1]} "
+                  "(stream = batches fed from host).", flush=True)
         n_train, n_val = train_cache.shape[0], val_cache.shape[0]
 
         start = time.time()
@@ -381,6 +458,11 @@ class Pix2PixTrainer:
                     tr = self._run_epoch_streaming(train_cache,
                                                    jax.random.fold_in(ek, 0),
                                                    training=True)
+                elif train_res_host is not None:
+                    tr = self._run_epoch_hybrid(train_dev, train_res_host,
+                                                train_cache,
+                                                jax.random.fold_in(ek, 0),
+                                                training=True, rng=rng)
                 else:
                     tr = self._run_epoch(train_dev, train_cache,
                                          jax.random.fold_in(ek, 0),

@@ -64,7 +64,7 @@ def test_flat_cache_chunking_round_trip():
     loop.CHUNK_LIMIT_BYTES = 1000  # rows are 200 B -> several chunks
     try:
         dev = loop.put_cache(cache, mesh, storage="flat")
-        assert len(dev.chunks) > 1
+        assert isinstance(dev.strips[0], tuple) and len(dev.strips[0]) > 1
     finally:
         loop.CHUNK_LIMIT_BYTES = orig
     idxs = np.array([0, 7, 23, 5], np.int32)
@@ -131,6 +131,91 @@ def test_plan_cache_storage_cpu_flat_disabled():
     plan = loader.plan_cache_storage([[big]], mesh)
     assert plan[0] in ("tiled", "stream")
     assert "flat" not in plan
+
+
+@pytest.mark.parametrize("ndev", [1, 4])
+def test_hybrid_epoch_matches_cached_epoch(ndev):
+    """A resident-prefix + streamed-tail epoch reproduces a fully cached one
+    (same fixed-order batches, same per-step RNG streams): losses to ~1e-4
+    rel, params to ~1e-3 (XLA fusion/summation-order noise between the scan
+    and per-batch programs, as in test_streaming)."""
+    n, b = 43, 8  # 5 full batches + remainder 3; resident prefix 24 rows
+    cache = np.random.default_rng(5).integers(
+        0, 255, size=(n, 2, 62, 62, 1), dtype=np.uint8)
+    key = jax.random.PRNGKey(11)
+
+    def cfg():
+        c = Pix2PixConfig(data="x", output="y", img_size=32, batch_size=b,
+                          epochs=1, dtype="fp32", num_devices=ndev)
+        c.validate()
+        return c
+
+    t_cached = Pix2PixTrainer(cfg())
+    dev = loop.put_cache(cache, t_cached.mesh)
+    l_cached = t_cached._run_epoch(dev, cache, key, training=True,
+                                   fixed_order=True,
+                                   rng=np.random.default_rng(0))
+
+    t_hyb = Pix2PixTrainer(cfg())
+    n_res = 24
+    res_host = cache[:n_res]
+    res_dev = loop.put_cache(res_host, t_hyb.mesh, storage="flat")
+    l_hyb = t_hyb._run_epoch_hybrid(res_dev, res_host, cache, key,
+                                    training=True,
+                                    rng=np.random.default_rng(0))
+
+    assert l_cached.shape == l_hyb.shape == (6, 4)
+    np.testing.assert_allclose(l_cached, l_hyb, rtol=1e-4, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                                rtol=1e-3, atol=1e-3),
+        t_cached.params, t_hyb.params)
+
+
+def test_hybrid_resident_rows_budget(monkeypatch):
+    cfg = Pix2PixConfig(data="x", output="y", img_size=32, batch_size=8,
+                        epochs=1, num_devices=1)
+    tr = Pix2PixTrainer(cfg)
+    cache = np.zeros((43, 2, 62, 62, 1), np.uint8)  # padded row = 7808 B
+    # default budget off-TPU (no env) -> hybrid disabled
+    assert tr._hybrid_resident_rows(cache) == 0
+    # budget for ~30 rows -> rounds down to a batch multiple (24)
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(30 * 7808))
+    assert tr._hybrid_resident_rows(cache) == 24
+    # reserved bytes shrink it
+    assert tr._hybrid_resident_rows(cache, reserved_bytes=10 * 7808) == 16
+    # huge budget caps at the largest batch multiple <= n
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(1 << 40))
+    assert tr._hybrid_resident_rows(cache) == 40
+
+
+def test_fit_takes_hybrid_path(tmp_path, monkeypatch):
+    """fit() engages the hybrid epoch when the corpus exceeds both device
+    ceilings but a prefix fits the flat budget; losses stay finite and the
+    output contract holds."""
+    rng = np.random.default_rng(0)
+    train = rng.integers(0, 255, (20, 2, 62, 62, 1), dtype=np.uint8)
+    val = rng.integers(0, 255, (4, 2, 32, 32, 1), dtype=np.uint8)
+    test = rng.integers(0, 255, (2, 2, 32, 32, 1), dtype=np.uint8)
+    monkeypatch.setattr(loader, "device_cache_fits", lambda *a, **k: False)
+    # budget: fits val (1968 B/row flat-padded -> use generous 16-row train prefix)
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(4 * 2048 + 16 * 7808))
+
+    cfg = Pix2PixConfig(data="x", output="y", img_size=32, batch_size=8,
+                        epochs=1, num_devices=1)
+    tr = Pix2PixTrainer(cfg)
+    hybrid_calls = []
+    orig = Pix2PixTrainer._run_epoch_hybrid
+
+    def spy(self, *a, **k):
+        hybrid_calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Pix2PixTrainer, "_run_epoch_hybrid", spy)
+    tr_cost, va_cost = tr.fit(train, val, test, str(tmp_path))
+    assert hybrid_calls  # hybrid path actually ran
+    for k, v in tr_cost.items():
+        assert np.isfinite(v).all()
 
 
 def test_trainer_fit_uses_flat_plan(tmp_path, monkeypatch):
