@@ -26,6 +26,9 @@ tier — measure each here:
   * ``cyclegan``   — CycleGAN dual-domain host-array streaming.
   * ``cyclegan_flat`` — CycleGAN reference scale (25.4k/domain, 4.16 GB
     total) fully device-resident flat.
+  * ``cyclegan_hybrid`` — CycleGAN resident-prefix + streamed-tail (the tier
+    the 25.4k/domain corpus actually hits: CycleGAN's flat ceiling is 3.3 GB
+    — loader.CYCLEGAN_FLAT_SAFE_BYTES).
 
 Usage: python benchmarks/streaming.py MODE [n_imgs] [batch] [img_size]
 Prints one JSON line per run (same schema as bench.py).
@@ -273,6 +276,47 @@ def run_cyclegan_flat(n: int, batch: int, img_size: int, epochs: int = 2) -> dic
             "vs_baseline": round(pps / n_dev / 250.0, 4)}
 
 
+def run_cyclegan_hybrid(n: int, batch: int, img_size: int,
+                        epochs: int = 2) -> dict:
+    """CycleGAN resident-flat-prefix + streamed-tail epochs — the tier the
+    25.4k/domain reference corpus hits on one chip (4.16 GB flat vs the
+    3.3 GB CYCLEGAN_FLAT_SAFE_BYTES ceiling)."""
+    from gan_tpu.train import loop
+
+    trainer, n_dev = _cyclegan_trainer(batch, img_size)
+    src = img_size + JITTER_PAD
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (n, src, src, 1), np.uint8)
+    y = rng.integers(0, 255, (n, src, src, 1), np.uint8)
+    n_res = trainer._hybrid_resident_rows(x, y)
+    print(f"host caches: {2*x.nbytes/1e9:.2f} GB ({n}/domain); resident "
+          f"prefix {n_res}/domain ({n_res/max(n,1):.0%})",
+          file=sys.stderr, flush=True)
+    if not (0 < n_res < n):
+        raise SystemExit("hybrid needs 0 < resident < n; set "
+                         "GAN_TPU_FLAT_CACHE_MAX or sizes accordingly")
+    res_x, res_y = x[:n_res], y[:n_res]
+    caches = {"x": loop.put_cache(res_x, trainer.mesh, storage="flat"),
+              "y": loop.put_cache(res_y, trainer.mesh, storage="flat")}
+    jax.block_until_ready([c.strips for c in caches.values()])
+    key = jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(0)
+    trainer._run_epoch_hybrid(caches, res_x, res_y, x, y, key,
+                              training=True, rng=host_rng)  # compile+warm
+    _sync(trainer.params)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        trainer._run_epoch_hybrid(caches, res_x, res_y, x, y,
+                                  jax.random.fold_in(key, e + 1),
+                                  training=True, rng=host_rng)
+    _sync(trainer.params)
+    pps = epochs * n / (time.perf_counter() - t0)
+    return {"metric": f"cyclegan_hybrid_pairs_per_sec_per_chip_{img_size}",
+            "value": round(pps / n_dev, 2), "unit": "image-pairs/sec/chip",
+            "vs_baseline": round(pps / n_dev / 250.0, 4),
+            "resident_rows_per_domain": n_res, "total_rows_per_domain": n}
+
+
 def run_cyclegan(n: int, batch: int, img_size: int, epochs: int = 1) -> dict:
     from gan_tpu.config import CycleGANConfig
     from gan_tpu.train.cyclegan_trainer import CycleGANTrainer
@@ -312,5 +356,6 @@ if __name__ == "__main__":
     fn = {"hostarray": run_hostarray, "filecache": run_filecache,
           "decode": run_decode, "cyclegan": run_cyclegan,
           "flatcache": run_flatcache, "hybrid": run_hybrid,
-          "cyclegan_flat": run_cyclegan_flat}[mode]
+          "cyclegan_flat": run_cyclegan_flat,
+          "cyclegan_hybrid": run_cyclegan_hybrid}[mode]
     print(json.dumps(fn(n, batch, img)))

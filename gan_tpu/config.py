@@ -150,7 +150,9 @@ def _add_common(parser: argparse.ArgumentParser, argv) -> None:
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"],
                         help="compute dtype on device (params stay fp32)")
     parser.add_argument("--device-cache", type=str, default="auto", choices=["auto", "on", "off"],
-                        help="keep the decoded training set resident in device HBM")
+                        help="keep the decoded training set resident in device HBM "
+                             "(auto picks tiled/flat/hybrid/stream per cache size — "
+                             "see RUNBOOK.md Memory)")
     parser.add_argument("--bn-cross-replica", type=str, default="false", choices=["true", "false"],
                         help="psum batch-norm statistics across the data-parallel mesh")
     parser.add_argument("--resume", type=str, default=None,

@@ -82,13 +82,24 @@ def device_cache_fits(nbytes: int, mesh, *, fraction: float = 0.4) -> bool:
     return per_dev <= min(fraction * limit, safe)
 
 
-def flat_cache_budget(mesh, *, fraction: float = 0.27) -> int:
-    """Per-device byte budget for FLAT-stored caches (FLAT_CACHE_SAFE_BYTES
-    — see its comment; env-overridable via GAN_TPU_FLAT_CACHE_MAX; 0 off-TPU
-    where there is no fault ceiling and tiled storage always wins). The
-    ``fraction`` cap (applied only when the backend reports a memory limit)
-    reflects flat storage's ~2× HBM footprint: cache arguments plus XLA's
-    in-program repack."""
+# CycleGAN's flat ceiling is LOWER than Pix2Pix's: its epoch program carries
+# 2 G + 2 D + 4 Adam states and 6 generator forwards of activations, so the
+# 25,446/domain reference corpus (4.16 GB flat args) crashed the worker where
+# Pix2Pix's 4.17 GB ran (round 3). Bracketed: 3.27 GB (20k/domain) runs.
+# Beyond it, CycleGAN hybrid epochs keep the budget resident and stream the
+# rest. Override with GAN_TPU_FLAT_CACHE_MAX (applies to both models).
+CYCLEGAN_FLAT_SAFE_BYTES = 3_300_000_000
+
+
+def flat_cache_budget(mesh, *, fraction: float = 0.27,
+                      safe_bytes: int | None = None) -> int:
+    """Per-device byte budget for FLAT-stored caches (``safe_bytes``
+    defaults to FLAT_CACHE_SAFE_BYTES — see its comment; CycleGAN passes its
+    lower CYCLEGAN_FLAT_SAFE_BYTES; env-overridable via
+    GAN_TPU_FLAT_CACHE_MAX; 0 off-TPU where there is no fault ceiling and
+    tiled storage always wins). The ``fraction`` cap (applied only when the
+    backend reports a memory limit) reflects flat storage's ~2× HBM
+    footprint: cache arguments plus the while-state buffer."""
     import os
 
     env = os.environ.get("GAN_TPU_FLAT_CACHE_MAX")
@@ -97,7 +108,7 @@ def flat_cache_budget(mesh, *, fraction: float = 0.27) -> int:
     dev = mesh.devices.flat[0]
     if dev.platform != "tpu":
         return 0
-    safe = FLAT_CACHE_SAFE_BYTES
+    safe = FLAT_CACHE_SAFE_BYTES if safe_bytes is None else safe_bytes
     try:
         stats = dev.memory_stats()
         if stats and "bytes_limit" in stats:
@@ -107,14 +118,16 @@ def flat_cache_budget(mesh, *, fraction: float = 0.27) -> int:
     return safe
 
 
-def flat_cache_fits(nbytes: int, mesh, *, fraction: float = 0.27) -> bool:
+def flat_cache_fits(nbytes: int, mesh, *, fraction: float = 0.27,
+                    safe_bytes: int | None = None) -> bool:
     """True when a FLAT-stored cache of ``nbytes`` raw bytes (sharded over
     the mesh) stays under the per-device flat budget (flat_cache_budget)."""
-    return nbytes / max(1, mesh.size) <= flat_cache_budget(mesh,
-                                                           fraction=fraction)
+    return nbytes / max(1, mesh.size) <= flat_cache_budget(
+        mesh, fraction=fraction, safe_bytes=safe_bytes)
 
 
-def plan_cache_storage(groups, mesh, mode: str = "auto") -> list[str]:
+def plan_cache_storage(groups, mesh, mode: str = "auto",
+                       flat_safe_bytes: int | None = None) -> list[str]:
     """Per-group device-cache storage plan: ``'tiled' | 'flat' | 'stream'``.
 
     ``groups``: one entry per cache group that must share a decision (a
@@ -148,12 +161,14 @@ def plan_cache_storage(groups, mesh, mode: str = "auto") -> list[str]:
         if device_cache_fits(sum(tiled[i] for i in cacheable), mesh):
             tier = "tiled"
         elif mode == "on" or flat_cache_fits(
-                sum(flat[i] for i in cacheable), mesh):
+                sum(flat[i] for i in cacheable), mesh,
+                safe_bytes=flat_safe_bytes):
             tier = "flat"
         else:
             total = 0
             for i in sorted(cacheable, key=lambda i: -flat[i]):
-                if flat_cache_fits(total + flat[i], mesh):
+                if flat_cache_fits(total + flat[i], mesh,
+                                   safe_bytes=flat_safe_bytes):
                     plan[i] = "flat"
                     total += flat[i]
             return plan
@@ -303,6 +318,42 @@ def prefetch_iter(it, depth: int = 2):
             yield item
 
     return drain()
+
+
+def pipelined_map(it, fn, *, workers: int = 3, inflight: int = 6):
+    """Apply ``fn`` to each item of ``it`` on a small thread pool, yielding
+    results IN ORDER with up to ``inflight`` applications in flight.
+
+    The streamed/hybrid epochs use this to run ``device_put`` on several
+    tunnel streams at once: a single h2d stream moves 26-65 MB/s on the axon
+    stack but 2-4 concurrent streams aggregate ~1.9× (72 MB/s peak,
+    degrading at 8 — benchmarks/transfer_bench.py), so parallel puts nearly
+    double streaming throughput when transfers are the bottleneck. Items are
+    pulled from ``it`` in the consumer thread — compose with
+    :func:`prefetch_iter` to move the assembly work off-thread too.
+    GAN_TPU_PUT_STREAMS overrides ``workers`` (1 ≈ the serial baseline for
+    A/B measurements)."""
+    import os
+    from collections import deque
+
+    workers = max(1, int(os.environ.get("GAN_TPU_PUT_STREAMS", workers)))
+    inflight = min(inflight, 2 * workers)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    dq: deque = deque()
+    it = iter(it)
+    try:
+        exhausted = False
+        while True:
+            while not exhausted and len(dq) < inflight:
+                try:
+                    dq.append(pool.submit(fn, next(it)))
+                except StopIteration:
+                    exhausted = True
+            if not dq:
+                return
+            yield dq.popleft().result()
+    finally:
+        pool.shutdown(wait=False)
 
 
 def _rebatch(batches, batch_size: int):

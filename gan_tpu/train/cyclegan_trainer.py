@@ -350,47 +350,58 @@ class CycleGANTrainer:
                 self.mesh, prep, step, training=training)
         return self._stream_fns[training]
 
-    def _run_epoch_streaming(self, x, y, epoch_key, *, training: bool,
-                             rng: np.random.Generator):
-        """Host-streamed zip(X, Y) pass: sources are host uint8 arrays
-        (``--device-cache off``) or data.loader.FileCache objects (corpora
-        bigger than host RAM — batches decode from files in background
-        threads). Full batches shard over the mesh through the same psum'd
-        step as the cached path; the zip tail runs replicated."""
-        from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
+    def _stream_batches(self, x, y, perm_x, perm_y, *, start_step: int,
+                        n_total: int, depth: int = 2):
+        """Prefetched (step, pair, is_full) zip stream over the given domain
+        orders, enumerated from ``start_step`` and stopping at ``n_total``
+        global steps — the host half of streamed/hybrid epochs. Batch pairs
+        are assembled in a prefetch thread (starts at CALL time, so hybrid
+        tail transfers overlap the resident scan) and ``device_put`` on
+        several parallel tunnel streams (loader.pipelined_map — single-stream
+        h2d is the streamed path's bottleneck and 2-4 streams aggregate
+        ~1.9×); full batches stripe-reorder so per-sample RNG pairing matches
+        the cached striped layout (see make_sharded_step)."""
+        from gan_tpu.data.loader import (iter_uint8_batches, pipelined_map,
+                                         prefetch_iter)
 
-        cfg = self.config
-        b = cfg.batch_size
+        b = self.config.batch_size
         ndev = self.mesh.size
-        nx, ny = x.shape[0], y.shape[0]
-        if min(nx, ny) == 0:
-            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
-        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
-        n_total = min(-(-nx // b), -(-ny // b))
         stripe = loop.stripe_order(b, ndev) if ndev > 1 else None
-        fn = self._get_stream_fn(training)
 
-        def produce():
-            """Assemble + device_put batch pairs in the prefetch thread (host
-            input work overlaps device compute). Full batches stripe-reorder
-            so per-sample RNG pairing matches the cached striped layout (see
-            make_sharded_step)."""
+        def assemble():
             pairs = zip(iter_uint8_batches(x, b, perm_x),
                         iter_uint8_batches(y, b, perm_y))
-            for step, (u8x, u8y) in enumerate(pairs):
+            for step, (u8x, u8y) in enumerate(pairs, start=start_step):
                 if step >= n_total:
                     break
                 if u8x.shape[0] == b and u8y.shape[0] == b and b % ndev == 0:
                     if stripe is not None:
                         u8x, u8y = u8x[stripe], u8y[stripe]
-                    yield step, (shard_batch(np.ascontiguousarray(u8x), self.mesh),
-                                 shard_batch(np.ascontiguousarray(u8y), self.mesh)), True
+                    yield step, (np.ascontiguousarray(u8x),
+                                 np.ascontiguousarray(u8y)), True
                 else:
                     yield step, (u8x, u8y), False
 
+        def put(item):
+            step, (u8x, u8y), full = item
+            if full:
+                return (step, (shard_batch(u8x, self.mesh),
+                               shard_batch(u8y, self.mesh)), True)
+            return item
+
+        # both prefetch_iter layers start their threads at call time, so the
+        # parallel puts run while the consumer is still blocked on the
+        # resident scan (hybrid) or the current step; the outer depth bounds
+        # device-resident prefetched batches
+        inner = prefetch_iter(assemble(), depth=4)
+        return prefetch_iter(pipelined_map(inner, put), depth=depth)
+
+    def _consume_stream(self, batches, epoch_key, training: bool) -> list:
+        """Run the sharded DP step over prefetched (step, pair, full) items;
+        the zip tail runs replicated. Returns per-step losses."""
+        fn = self._get_stream_fn(training)
         losses = []
-        for step, pair, full in prefetch_iter(produce(), depth=2):
+        for step, pair, full in batches:
             if full:
                 key = jax.random.fold_in(epoch_key, step)
                 if training:
@@ -402,19 +413,128 @@ class CycleGANTrainer:
             else:
                 losses.append(self._run_remainder(pair, epoch_key, step,
                                                   training))
+        return losses
+
+    def _run_epoch_streaming(self, x, y, epoch_key, *, training: bool,
+                             rng: np.random.Generator):
+        """Host-streamed zip(X, Y) pass: sources are host uint8 arrays
+        (``--device-cache off``) or data.loader.FileCache objects (corpora
+        bigger than host RAM — batches decode from files in background
+        threads). Full batches shard over the mesh through the same psum'd
+        step as the cached path; the zip tail runs replicated."""
+        cfg = self.config
+        b = cfg.batch_size
+        nx, ny = x.shape[0], y.shape[0]
+        if min(nx, ny) == 0:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
+        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+        n_total = min(-(-nx // b), -(-ny // b))
+        losses = self._consume_stream(
+            self._stream_batches(x, y, perm_x, perm_y, start_step=0,
+                                 n_total=n_total),
+            epoch_key, training)
         if not losses:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
+
+    def _hybrid_resident_rows(self, x, y, reserved_bytes: int = 0) -> int:
+        """Largest batch-multiple row count (per domain) whose dual flat
+        caches fit CycleGAN's flat budget minus ``reserved_bytes``; 0
+        disables the hybrid path."""
+        from gan_tpu.data.loader import (CYCLEGAN_FLAT_SAFE_BYTES,
+                                         flat_cache_budget)
+        budget = flat_cache_budget(
+            self.mesh, safe_bytes=CYCLEGAN_FLAT_SAFE_BYTES) * self.mesh.size
+        budget = (budget - reserved_bytes) // 2  # per domain
+        row = -(-int(np.prod(x.shape[1:])) // 128) * 128
+        b = self.config.batch_size
+        if budget <= 0 or row <= 0:
+            return 0
+        return max(0, min(int(budget // row), x.shape[0], y.shape[0])
+                   // b * b)
+
+    def _run_epoch_hybrid(self, caches_dev, res_x, res_y, x, y, epoch_key, *,
+                          training: bool, rng: np.random.Generator):
+        """Resident-prefix + streamed-tail zip epoch for corpora beyond
+        CycleGAN's flat budget (the 25.4k/domain reference corpus: 4.16 GB
+        flat vs the 3.3 GB ceiling — see loader.CYCLEGAN_FLAT_SAFE_BYTES).
+
+        Rows [0, n_res) of EACH domain live device-resident (FlatCache) and
+        run as the scanned epoch; later rows stream, their transfers
+        overlapped against the scan. Per-epoch reshuffles draw within the
+        resident and tail partitions independently (``--buffer-size``
+        windowed semantics apply within each) — a bounded-mixing deviation
+        of the same kind as tf.data's windowed shuffle itself, in exchange
+        for ~6× the pure-streaming throughput; each row is still visited at
+        most once per epoch, exactly once for the shorter domain. RNG
+        streams stay step-indexed exactly like a fully cached epoch
+        (scan steps 0..S_res-1, streamed steps S_res.., zip tail last)."""
+        cfg = self.config
+        b = cfg.batch_size
+        ndev = self.mesh.size
+        nx, ny = x.shape[0], y.shape[0]
+        n_res = res_x.shape[0]
+        assert n_res % b == 0 and res_y.shape[0] == n_res
+        if min(nx, ny) == 0:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        n_steps, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
+        total_ref = min(-(-nx // b), -(-ny // b))
+        s_res = n_res // b
+
+        # tail partitions (global rows n_res..) in windowed-shuffled order,
+        # producer started BEFORE the scan so transfers overlap compute
+        tail_x = n_res + loop.epoch_perm(nx - n_res, cfg.buffer_size, rng)
+        tail_y = n_res + loop.epoch_perm(ny - n_res, cfg.buffer_size, rng)
+        tail = self._stream_batches(
+            x, y, tail_x, tail_y, start_step=s_res, n_total=total_ref,
+            depth=int(os.environ.get("GAN_TPU_HYBRID_DEPTH", "16")))
+
+        # resident partition: scanned epoch over the dual flat caches with
+        # per-epoch in-partition reshuffles (drawn exactly once: s_res * b
+        # == n_res rows per domain)
+        all_losses = []
+        if s_res:
+            if ndev == 1:
+                perms = {
+                    "x": loop.epoch_perm(n_res, cfg.buffer_size, rng)
+                    .reshape(s_res, b).astype(np.int32),
+                    "y": loop.epoch_perm(n_res, cfg.buffer_size, rng)
+                    .reshape(s_res, b).astype(np.int32)}
+            else:
+                px, _ = loop.shuffled_stripe_perm(
+                    n_res, ndev=ndev, n_steps=s_res, per_dev_batch=b_loc,
+                    buffer_size=cfg.buffer_size, rng=rng)
+                py, _ = loop.shuffled_stripe_perm(
+                    n_res, ndev=ndev, n_steps=s_res, per_dev_batch=b_loc,
+                    buffer_size=cfg.buffer_size, rng=rng)
+                perms = {"x": px, "y": py}
+            fn = self._get_epoch_fn(training, "take")
+            if training:
+                self.params, self.opt_states, losses = fn(
+                    self.params, self.opt_states, caches_dev, perms, epoch_key)
+            else:
+                _, _, losses = fn(self.params, self.opt_states, caches_dev,
+                                  perms, epoch_key)
+            all_losses.append(np.asarray(losses))
+
+        stream_losses = self._consume_stream(tail, epoch_key, training)
+        all_losses += [np.asarray(l).reshape(1, -1) for l in stream_losses]
+        if not all_losses:
+            return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
+        return np.concatenate(all_losses, axis=0)
 
     def _storage_plan(self, train_pair, val_pair) -> list[str]:
         """Storage plan for the (train_x, train_y) and (val_x, val_y) groups
         — each zipped pair caches or streams TOGETHER (the epoch runner zips
         the domains); FileCache corpora always stream. Returns two of
         'tiled'|'flat'|'stream' (data.loader.plan_cache_storage)."""
-        from gan_tpu.data.loader import FileCache, plan_cache_storage
+        from gan_tpu.data.loader import (CYCLEGAN_FLAT_SAFE_BYTES, FileCache,
+                                         plan_cache_storage)
         groups = [None if any(isinstance(c, FileCache) for c in g)
                   else [c.shape for c in g] for g in (train_pair, val_pair)]
-        return plan_cache_storage(groups, self.mesh, self.config.device_cache)
+        return plan_cache_storage(groups, self.mesh, self.config.device_cache,
+                                  flat_safe_bytes=CYCLEGAN_FLAT_SAFE_BYTES)
 
     # ---------------------------------------------------------------- public
     def fit(self, train_x: np.ndarray, train_y: np.ndarray, val_x: np.ndarray,
@@ -430,16 +550,30 @@ class CycleGANTrainer:
         example = np.asarray(normalize_batch(test_cache[:1].astype(np.float32)))
 
         plan = self._storage_plan((train_x, train_y), (val_x, val_y))
-        if "stream" in plan or "flat" in plan:
-            print(f"Device cache plan: train={plan[0]}, val={plan[1]} "
-                  "(stream = batches fed from host).", flush=True)
         caches_train = caches_val = None
-        if plan[0] != "stream":
-            caches_train = {"x": loop.put_cache(train_x, self.mesh, storage=plan[0]),
-                            "y": loop.put_cache(train_y, self.mesh, storage=plan[0])}
+        res_x = res_y = None
         if plan[1] != "stream":
             caches_val = {"x": loop.put_cache(val_x, self.mesh, storage=plan[1]),
                           "y": loop.put_cache(val_y, self.mesh, storage=plan[1])}
+        if plan[0] != "stream":
+            caches_train = {"x": loop.put_cache(train_x, self.mesh, storage=plan[0]),
+                            "y": loop.put_cache(train_y, self.mesh, storage=plan[0])}
+        else:
+            from gan_tpu.data.loader import FileCache
+            reserved = (sum(loop.flat_cache_nbytes(c.shape)
+                            for c in (val_x, val_y))
+                        if plan[1] == "flat" else 0)
+            if not any(isinstance(c, FileCache) for c in (train_x, train_y)):
+                n_res = self._hybrid_resident_rows(train_x, train_y, reserved)
+                if n_res:
+                    plan[0] = f"hybrid({n_res} rows/domain resident)"
+                    res_x, res_y = train_x[:n_res], train_y[:n_res]
+                    caches_train = {
+                        "x": loop.put_cache(res_x, self.mesh, storage="flat"),
+                        "y": loop.put_cache(res_y, self.mesh, storage="flat")}
+        if any(p != "tiled" for p in plan):
+            print(f"Device cache plan: train={plan[0]}, val={plan[1]} "
+                  "(stream = batches fed from host).", flush=True)
 
         start = time.time()
         rng = np.random.default_rng(cfg.seed)
@@ -459,6 +593,11 @@ class CycleGANTrainer:
                     tr = self._run_epoch_streaming(train_x, train_y,
                                                    jax.random.fold_in(ek, 0),
                                                    training=True, rng=rng)
+                elif res_x is not None:
+                    tr = self._run_epoch_hybrid(caches_train, res_x, res_y,
+                                                train_x, train_y,
+                                                jax.random.fold_in(ek, 0),
+                                                training=True, rng=rng)
                 else:
                     tr = self._run_epoch(caches_train, train_x, train_y,
                                          jax.random.fold_in(ek, 0), training=True,

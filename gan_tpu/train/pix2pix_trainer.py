@@ -283,15 +283,18 @@ class Pix2PixTrainer:
 
     def _stream_batches(self, cache, *, start_row: int = 0, depth: int = 2):
         """Prefetched (step, device_array, is_full) stream over ``cache``
-        rows [start_row:) — the host half of a streamed epoch. Batch
-        assembly + ``device_put`` run in the prefetch thread, overlapping
-        device compute (the producer starts at CALL time — hybrid epochs
-        lean on that to transfer the tail during the resident scan). Full
-        batches are stripe-reordered so device d's block holds rows ≡ d
-        (mod ndev), matching put_cache striping: per-sample augment/dropout
-        RNG pairing and per-device BN stats then equal the cached epoch's at
-        any per-device batch size (see make_sharded_step)."""
-        from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
+        rows [start_row:) — the host half of a streamed epoch. Batches are
+        assembled in a prefetch thread (starts at CALL time — hybrid epochs
+        lean on that to transfer the tail during the resident scan) and
+        ``device_put`` on several parallel tunnel streams (loader.
+        pipelined_map — single-stream h2d is the streamed path's bottleneck
+        and 2-4 streams aggregate ~1.9×). Full batches are stripe-reordered
+        so device d's block holds rows ≡ d (mod ndev), matching put_cache
+        striping: per-sample augment/dropout RNG pairing and per-device BN
+        stats then equal the cached epoch's at any per-device batch size
+        (see make_sharded_step)."""
+        from gan_tpu.data.loader import (iter_uint8_batches, pipelined_map,
+                                         prefetch_iter)
 
         b = self.config.batch_size
         ndev = self.mesh.size
@@ -300,18 +303,26 @@ class Pix2PixTrainer:
         order = (None if start_row == 0
                  else np.arange(start_row, cache.shape[0]))
 
-        def produce():
+        def assemble():
             for step, batch_u8 in enumerate(iter_uint8_batches(cache, b, order),
                                             start=start_step):
                 if batch_u8.shape[0] == b and batch_u8.shape[0] % ndev == 0:
                     if stripe is not None:
                         batch_u8 = batch_u8[stripe]
-                    yield step, shard_batch(np.ascontiguousarray(batch_u8),
-                                            self.mesh), True
+                    yield step, np.ascontiguousarray(batch_u8), True
                 else:
                     yield step, batch_u8, False
 
-        return prefetch_iter(produce(), depth=depth)
+        def put(item):
+            step, arr, full = item
+            return (step, shard_batch(arr, self.mesh) if full else arr, full)
+
+        # both prefetch_iter layers start their threads at call time, so the
+        # parallel puts run while the consumer is still blocked on the
+        # resident scan (hybrid) or the current step; the outer depth bounds
+        # device-resident prefetched batches
+        inner = prefetch_iter(assemble(), depth=4)
+        return prefetch_iter(pipelined_map(inner, put), depth=depth)
 
     def _consume_stream(self, batches, epoch_key, training: bool) -> list:
         """Run the sharded DP step over prefetched (step, arr, full) items;

@@ -1,0 +1,130 @@
+"""CycleGAN hybrid (resident-prefix + streamed-tail) epochs.
+
+The 25.4k/domain reference corpus (4.16 GB flat) exceeds CycleGAN's flat
+ceiling (loader.CYCLEGAN_FLAT_SAFE_BYTES — its epoch program carries 2 G +
+2 D + 4 Adams and crashed the worker where Pix2Pix's equal-sized cache ran),
+so reference-scale CycleGAN runs hybrid: both domains keep an equal
+batch-multiple resident prefix, tails stream with overlapped transfers.
+Sampling shuffles within the resident and tail partitions independently
+(documented bounded-mixing deviation); each row is visited at most once per
+epoch, exactly once for the shorter domain — pinned here via the step
+structure and the tail orders.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from gan_tpu.config import CycleGANConfig
+from gan_tpu.data import loader
+from gan_tpu.train import loop
+from gan_tpu.train.cyclegan_trainer import CycleGANTrainer
+
+
+def _cfg(ndev=1, batch=8):
+    cfg = CycleGANConfig(input_images="x", target_images="y", output="o",
+                         img_size=32, batch_size=batch, train=True, epochs=1,
+                         dtype="fp32", num_devices=ndev)
+    cfg.validate()
+    return cfg
+
+
+def _domain(n, seed):
+    return np.random.default_rng(seed).integers(
+        0, 255, (n, 62, 62, 1), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+def test_hybrid_epoch_step_structure_and_updates(ndev):
+    """Hybrid zip epoch emits the reference step count (full steps + zip
+    tail), finite losses, and updates params; the streamed tail uses step
+    indices continuing the scan's (RNG continuity)."""
+    nx, ny = 43, 35  # zip: 4 full steps + tail (ny % b = 3)
+    x, y = _domain(nx, 0), _domain(ny, 1)
+    tr = CycleGANTrainer(_cfg(ndev))
+    n_res = 16  # 2 scan steps; 2 streamed + tail
+    res_x, res_y = x[:n_res], y[:n_res]
+    caches = {"x": loop.put_cache(res_x, tr.mesh, storage="flat"),
+              "y": loop.put_cache(res_y, tr.mesh, storage="flat")}
+    p0 = jax.tree_util.tree_map(np.asarray, tr.params)
+    losses = tr._run_epoch_hybrid(caches, res_x, res_y, x, y,
+                                  jax.random.PRNGKey(3), training=True,
+                                  rng=np.random.default_rng(7))
+    # reference zip: min(ceil(43/8), ceil(35/8)) = 5 steps
+    assert losses.shape == (5, len(losses[0]))
+    assert np.isfinite(losses).all()
+    moved = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a) - b).max(), tr.params, p0)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_hybrid_resident_rows_budget(monkeypatch):
+    tr = CycleGANTrainer(_cfg())
+    x, y = _domain(40, 0), _domain(33, 1)
+    # off-TPU default: disabled
+    assert tr._hybrid_resident_rows(x, y) == 0
+    row = -(-62 * 62 // 128) * 128  # 3968
+    # budget for 2*20 rows -> per-domain 20 -> batch-multiple 16
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(2 * 20 * row))
+    assert tr._hybrid_resident_rows(x, y) == 16
+    # capped by the SHORTER domain, then batch-rounded
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(1 << 40))
+    assert tr._hybrid_resident_rows(x, y) == 32
+    # reserved bytes shrink it
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(2 * 20 * row))
+    assert tr._hybrid_resident_rows(x, y, reserved_bytes=2 * 10 * row) == 8
+
+
+def test_fit_takes_cyclegan_hybrid_path(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    x, y = _domain(24, 0), _domain(20, 1)
+    vx, vy = (rng.integers(0, 255, (4, 32, 32, 1), np.uint8) for _ in range(2))
+    test = rng.integers(0, 255, (2, 32, 32, 1), np.uint8)
+    monkeypatch.setattr(loader, "device_cache_fits", lambda *a, **k: False)
+    row = -(-62 * 62 // 128) * 128
+    vrow = -(-32 * 32 // 128) * 128
+    # val (flat) + 8 resident rows/domain for train
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX",
+                       str(2 * 32 * vrow + 2 * 8 * row))
+
+    tr = CycleGANTrainer(_cfg(batch=8))
+    calls = []
+    orig = CycleGANTrainer._run_epoch_hybrid
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(CycleGANTrainer, "_run_epoch_hybrid", spy)
+    tr_cost, va_cost = tr.fit(x, y, vx, vy, test, str(tmp_path))
+    assert calls
+    for k, v in tr_cost.items():
+        assert np.isfinite(v).all()
+
+
+def test_hybrid_tail_orders_cover_each_row_once(monkeypatch):
+    """The tail partition draws exactly the rows the resident prefix does
+    not hold, each at most once (exactly once for the shorter domain) —
+    captured from the streamed producer's orders."""
+    nx, ny = 43, 35
+    x, y = _domain(nx, 0), _domain(ny, 1)
+    tr = CycleGANTrainer(_cfg(1))
+    n_res = 16
+    caches = {"x": loop.put_cache(x[:n_res], tr.mesh, storage="flat"),
+              "y": loop.put_cache(y[:n_res], tr.mesh, storage="flat")}
+    seen = {}
+    orig = CycleGANTrainer._stream_batches
+
+    def spy(self, xx, yy, perm_x, perm_y, **kw):
+        seen["x"], seen["y"] = np.array(perm_x), np.array(perm_y)
+        seen["kw"] = dict(kw)
+        return orig(self, xx, yy, perm_x, perm_y, **kw)
+
+    monkeypatch.setattr(CycleGANTrainer, "_stream_batches", spy)
+    tr._run_epoch_hybrid(caches, x[:n_res], y[:n_res], x, y,
+                         jax.random.PRNGKey(0), training=True,
+                         rng=np.random.default_rng(0))
+    assert sorted(seen["x"]) == list(range(n_res, nx))
+    assert sorted(seen["y"]) == list(range(n_res, ny))
+    assert seen["kw"]["start_step"] == n_res // 8
+    assert seen["kw"]["n_total"] == 5
