@@ -367,25 +367,39 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
         fmt = Format(Layout(major_to_minor=m2m), batch_sharding(mesh))
         relayout = jax.jit(lambda a: a, out_shardings=fmt, donate_argnums=0)
 
+    # transfers run on parallel tunnel streams (loader.pipelined_map — a
+    # single h2d stream moves 26-65 MB/s on the axon stack, 2-4 concurrent
+    # streams aggregate ~1.9×), halving reference-scale cache load time
+    # (4.17 GB flat: 68 s serial). Ordered results; GAN_TPU_PUT_STREAMS=1
+    # restores the serial baseline.
+    from gan_tpu.data.loader import pipelined_map
+
     if storage == "flat":
         # column strips of FLAT_STRIP_BYTES so XLA's mini-gathers consume
         # parameters directly instead of materializing cache-sized slice
         # temps (see FLAT_STRIP_BYTES)
         r = cache_np.shape[1]
+        offs = list(range(0, r, FLAT_STRIP_BYTES))
+        jobs = [(p, lo) for lo in offs for p in parts]
+
+        def _put_strip(job):
+            p, lo = job
+            return put_global(
+                np.ascontiguousarray(p[:, lo:lo + FLAT_STRIP_BYTES]),
+                batch_sharding(mesh), global_rows=global_rows)
+
+        flat_arrs = list(pipelined_map(iter(jobs), _put_strip))
         strips = []
-        for lo in range(0, r, FLAT_STRIP_BYTES):
-            sl = [put_global(np.ascontiguousarray(p[:, lo:lo + FLAT_STRIP_BYTES]),
-                             batch_sharding(mesh), global_rows=global_rows)
-                  for p in parts]
+        for si in range(len(offs)):
+            sl = flat_arrs[si * n_chunks:(si + 1) * n_chunks]
             strips.append(sl[0] if n_chunks == 1 else tuple(sl))
         return FlatCache(strips, sample_shape)
 
-    out = []
-    for p in parts:
+    def _put_part(p):
         arr = put_global(p, batch_sharding(mesh), global_rows=global_rows)
-        if relayout is not None:
-            arr = relayout(arr)
-        out.append(arr)
+        return relayout(arr) if relayout is not None else arr
+
+    out = list(pipelined_map(iter(parts), _put_part))
     return out[0] if n_chunks == 1 else tuple(out)
 
 
