@@ -85,7 +85,9 @@ def frechet_distance(fa: np.ndarray, fb: np.ndarray) -> float:
     mu_a, mu_b = fa.mean(0), fb.mean(0)
     ca = np.cov(fa, rowvar=False)
     cb = np.cov(fb, rowvar=False)
-    covmean, _ = linalg.sqrtm(ca @ cb, disp=False)
+    # sqrtm's `disp` is deprecated (removal: SciPy 1.18); errors now raise
+    # through LinAlgError instead of the old (result, errest) tuple
+    covmean = linalg.sqrtm(ca @ cb)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(np.sum((mu_a - mu_b) ** 2) + np.trace(ca + cb - 2.0 * covmean))
