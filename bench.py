@@ -55,12 +55,12 @@ def main() -> None:
     host_rng = np.random.default_rng(0)
 
     # warmup (compile)
+    from benchmarks._bench_util import hard_sync
+
     def sync():
-        # hard barrier: block_until_ready alone is a soft barrier for some
-        # result kinds on the axon tunnel; a param-leaf fetch (~0.15 s round
-        # trip) guarantees execution finished
-        jax.block_until_ready(trainer.params)
-        np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).ravel()[:1]
+        # hard barrier: block_until_ready alone is a soft barrier on the
+        # axon tunnel — see benchmarks/_bench_util.hard_sync
+        hard_sync(trainer.params)
 
     # warmup: compile + one steady-state epoch (the first post-compile epoch
     # runs ~15% slow while the runtime warms; measured in round 3)

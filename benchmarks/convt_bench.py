@@ -29,13 +29,7 @@ from gan_tpu.ops.conv import conv2d_transpose_up, conv2d_transpose_up_phased
 
 
 
-def _sync(params):
-    """Hard barrier: fetch one param leaf to host — on the axon tunnel,
-    block_until_ready can return before execution completes."""
-    import jax
-    import numpy as np
-    np.asarray(jax.tree_util.tree_leaves(params)[0]).ravel()[:1]
-    jax.block_until_ready(params)
+from benchmarks._bench_util import hard_sync as _sync
 
 def _time_scanned(fn, args, iters: int = 50) -> float:
     """Per-call seconds via a scanned loop (per-dispatch timing over the axon

@@ -31,13 +31,7 @@ from gan_tpu.train import loop
 
 
 
-def _sync(params):
-    """Hard barrier: fetch one param leaf to host — on the axon tunnel,
-    block_until_ready can return before execution completes."""
-    import jax
-    import numpy as np
-    np.asarray(jax.tree_util.tree_leaves(params)[0]).ravel()[:1]
-    jax.block_until_ready(params)
+from benchmarks._bench_util import hard_sync as _sync
 
 def peak_hbm() -> int:
     try:

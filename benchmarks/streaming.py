@@ -52,13 +52,7 @@ from gan_tpu.data.augment import JITTER_PAD
 
 
 
-def _sync(params):
-    """Hard barrier: fetch one param leaf to host — on the axon tunnel,
-    block_until_ready can return before execution completes."""
-    import jax
-    import numpy as np
-    np.asarray(jax.tree_util.tree_leaves(params)[0]).ravel()[:1]
-    jax.block_until_ready(params)
+from benchmarks._bench_util import hard_sync as _sync
 
 def synth_corpus_files(root: str, n: int, *, img_size: int, pair: bool,
                        channels: int = 1) -> list[str]:

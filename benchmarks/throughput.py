@@ -68,14 +68,14 @@ def run(model: str, img_size: int, per_dev_batch: int, steps: int = 32,
             trainer._run_epoch(caches, x_np, y_np, jax.random.fold_in(key, i),
                                training=True, rng=host_rng)
 
+    from benchmarks._bench_util import hard_sync
     epoch(0)  # compile
-    jax.block_until_ready(trainer.params)
+    hard_sync(trainer.params)
     t0 = time.perf_counter()
     for r in range(reps):
         epoch(r + 1)
-    jax.block_until_ready(trainer.params)
-    np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).ravel()[:1]
-    dt = time.perf_counter() - t0  # incl. a hard param fetch: one ~0.15 s
+    hard_sync(trainer.params)
+    dt = time.perf_counter() - t0  # incl. the hard fence: one ~0.15 s
     # tunnel round trip ensures execution really finished (axon's
     # block_until_ready is a soft barrier for some result kinds)
     ips = reps * steps * batch / dt

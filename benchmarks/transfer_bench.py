@@ -23,6 +23,8 @@ Usage: python benchmarks/transfer_bench.py [--quick]
 """
 
 import argparse
+import os
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -30,12 +32,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def hard_sync(arr):
-    """block_until_ready is a SOFT barrier for some result kinds on the axon
-    tunnel; fetching bytes to host is the reliable fence."""
-    np.asarray(arr.ravel()[:8] if hasattr(arr, "ravel") else arr)
-    jax.block_until_ready(arr)
+from benchmarks._bench_util import hard_sync
 
 
 def put(dev, x):
@@ -98,9 +97,10 @@ def bench_overlap(dev, mb=64):
 
     t0 = time.perf_counter()
     r = burn(a)
-    put(dev, x)
+    b = put(dev, x)
     hard_sync(r)
-    both = time.perf_counter() - t0
+    hard_sync(b)   # put() only soft-blocks; without this the clock can stop
+    both = time.perf_counter() - t0  # while the transfer DMA is in flight
     res = {"metric": "h2d_overlap_efficiency",
            "value": round((burn_t + idle_put - both) / min(burn_t, idle_put), 2),
            "unit": "fraction of the shorter op hidden",

@@ -171,6 +171,19 @@ def plan_cache_storage(groups, mesh, mode: str = "auto",
                                    safe_bytes=flat_safe_bytes):
                     plan[i] = "flat"
                     total += flat[i]
+            # groups the flat budget couldn't take (e.g. the val cache once
+            # the train set claims it) still cache TILED when they fit on
+            # their own: the worker-fault bracket binds on per-epoch-PROGRAM
+            # argument bytes, and each group runs its own epoch program.
+            # (HBM headroom: the fraction caps on both budgets keep
+            # flat + tiled + the in-program flat repack well under device
+            # memory.)
+            t_total = 0
+            for i in sorted(cacheable, key=lambda i: -tiled[i]):
+                if plan[i] == "stream" and device_cache_fits(
+                        t_total + tiled[i], mesh):
+                    plan[i] = "tiled"
+                    t_total += tiled[i]
             return plan
         for i in cacheable:
             plan[i] = tier
@@ -297,25 +310,48 @@ def prefetch_iter(it, depth: int = 2):
     if depth <= 0:
         return iter(it)
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(obj) -> bool:
+        # bounded put that gives up once the consumer is gone — otherwise an
+        # abandoned epoch (step raised, caller dropped the iterator) leaves
+        # the producer blocked forever holding `depth` device-resident
+        # batches of HBM
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
-            q.put(_DONE)
+                if not _put(item):
+                    return
+            _put(_DONE)
         except BaseException as e:
-            q.put(e)
+            _put(e)
 
     threading.Thread(target=run, daemon=True).start()
 
     def drain():
-        while True:
-            item = q.get()
-            if item is _DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:                      # drop queued device refs promptly
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     return drain()
 

@@ -478,7 +478,7 @@ class CycleGANTrainer:
         assert n_res % b == 0 and res_y.shape[0] == n_res
         if min(nx, ny) == 0:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-        n_steps, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
+        _, b_loc, _ = loop.epoch_plan(min(nx, ny), b, ndev)
         total_ref = min(-(-nx // b), -(-ny // b))
         s_res = n_res // b
 

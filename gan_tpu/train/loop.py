@@ -403,18 +403,18 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
     return out[0] if n_chunks == 1 else tuple(out)
 
 
-def local_perm(n: int, *, ndev: int, n_steps: int, per_dev_batch: int,
-               rng: np.random.Generator | None, fixed_order: bool) -> np.ndarray:
+def local_perm(n: int, *, ndev: int, n_steps: int,
+               per_dev_batch: int) -> np.ndarray:
     """(n_steps, ndev * per_dev_batch) int32 of *local* cache indices for a
-    striped cache (put_cache).
+    FIXED-ORDER epoch over a striped cache (put_cache).
 
     Column block d (width per_dev_batch) indexes device d's stripe. Because
-    stripes interleave original rows, fixed_order=True (arange everywhere)
-    makes global step s draw exactly original rows [s·B, (s+1)·B) — the
+    stripes interleave original rows, the arange-everywhere order makes
+    global step s draw exactly original rows [s·B, (s+1)·B) — the
     reference's fixed epoch order (pix2pix.py:147 shuffles once at split
-    time, never per epoch) at ANY mesh size. fixed_order=False draws a fresh
-    per-device permutation of that device's real rows (CycleGAN's
-    reshuffle_each_iteration=True, cycle_gan.py:140-150).
+    time, never per epoch) at ANY mesh size. Per-epoch SHUFFLED draws (the
+    CycleGAN semantics) go through :func:`shuffled_stripe_perm`, which also
+    handles windowed --buffer-size semantics and tail coverage.
 
     epoch_plan guarantees n_steps·per_dev_batch ≤ floor(n/ndev) ≤ every
     device's real-row count, so wrap-padding rows are never drawn.
@@ -425,11 +425,7 @@ def local_perm(n: int, *, ndev: int, n_steps: int, per_dev_batch: int,
         real = n // ndev + (1 if d < n % ndev else 0)
         assert need <= max(real, 1), (
             f"need {need} rows from a {real}-row stripe (n={n}, ndev={ndev})")
-        if fixed_order:
-            order = np.arange(need)
-        else:
-            order = rng.permutation(max(real, 1))[:need]
-        cols.append(order.reshape(n_steps, per_dev_batch))
+        cols.append(np.arange(need).reshape(n_steps, per_dev_batch))
     return np.concatenate(cols, axis=1).astype(np.int32)
 
 

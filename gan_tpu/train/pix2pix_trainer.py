@@ -248,9 +248,11 @@ class Pix2PixTrainer:
         mode = loop.gather_mode(n, fixed_order=fixed_order, n_devices=ndev)
         all_losses = []
         if n_steps > 0:
+            assert fixed_order, (
+                "Pix2Pix epochs are fixed-order (reference quirk Q4); "
+                "shuffled DP draws go through loop.shuffled_stripe_perm")
             perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps,
-                                   per_dev_batch=b_loc, rng=rng,
-                                   fixed_order=fixed_order)
+                                   per_dev_batch=b_loc)
             fn = self._get_epoch_fn(training, mode)
             if training:
                 self.params, self.opt_states, losses = fn(
@@ -432,18 +434,20 @@ class Pix2PixTrainer:
         train_dev, train_res_host = None, None
         if plan[0] != "stream":
             train_dev = loop.put_cache(train_cache, self.mesh, storage=plan[0])
-        else:
+        elif isinstance(train_cache, np.ndarray):
             # hybrid: device-cache the largest batch-multiple prefix that
             # fits the flat budget left over by the val cache; stream the
-            # tail (its transfers overlap the prefix scan's compute)
+            # tail (its transfers overlap the prefix scan's compute).
+            # FileCache corpora are excluded — decoding a flat-budget-sized
+            # prefix into host RAM contradicts why FileCache was chosen
+            # (decoded corpus exceeds host RAM) and would pin ~GBs for the
+            # whole run; they always stream (loader.FileCache contract).
             reserved = (loop.flat_cache_nbytes(val_cache.shape)
                         if plan[1] == "flat" else 0)
             n_res = self._hybrid_resident_rows(train_cache, reserved)
             if n_res:
                 plan[0] = f"hybrid({n_res} rows resident)"
-                train_res_host = (train_cache[:n_res]
-                                  if isinstance(train_cache, np.ndarray)
-                                  else train_cache.rows(np.arange(n_res)))
+                train_res_host = train_cache[:n_res]
                 train_dev = loop.put_cache(train_res_host, self.mesh,
                                            storage="flat")
         if any(p != "tiled" for p in plan):

@@ -50,8 +50,9 @@ def test_hybrid_epoch_step_structure_and_updates(ndev):
     losses = tr._run_epoch_hybrid(caches, res_x, res_y, x, y,
                                   jax.random.PRNGKey(3), training=True,
                                   rng=np.random.default_rng(7))
+    from gan_tpu.losses import CYCLEGAN_LOSS_KEYS as KEYS
     # reference zip: min(ceil(43/8), ceil(35/8)) = 5 steps
-    assert losses.shape == (5, len(losses[0]))
+    assert losses.shape == (5, len(KEYS))
     assert np.isfinite(losses).all()
     moved = jax.tree_util.tree_map(
         lambda a, b: np.abs(np.asarray(a) - b).max(), tr.params, p0)

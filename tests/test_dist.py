@@ -90,8 +90,7 @@ def test_local_perm_fixed_order_reconstructs_global_batches():
     n, ndev, B = 21, 4, 8
     n_steps, b_loc, rem = loop.epoch_plan(n, B, ndev)
     assert (n_steps, b_loc, rem) == (2, 2, 5)
-    perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc,
-                           rng=None, fixed_order=True)
+    perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc)
     stripe = loop.stripe_order(n, ndev)
     l = len(stripe) // ndev
     for s in range(n_steps):
@@ -99,21 +98,6 @@ def test_local_perm_fixed_order_reconstructs_global_batches():
                       for d in range(ndev)
                       for j in perm[s, d * b_loc:(d + 1) * b_loc])
         assert rows == list(range(s * B, (s + 1) * B))
-
-
-def test_local_perm_shuffled_stays_real():
-    """Shuffled perms never index a wrap-padding row."""
-    rng = np.random.default_rng(0)
-    n, ndev, n_steps, b_loc = 21, 8, 2, 1
-    perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps, per_dev_batch=b_loc,
-                           rng=rng, fixed_order=False)
-    assert perm.shape == (n_steps, ndev * b_loc)
-    for d in range(ndev):
-        real = n // ndev + (1 if d < n % ndev else 0)
-        block = perm[:, d * b_loc:(d + 1) * b_loc]
-        assert block.min() >= 0 and block.max() < max(real, 1)
-        # no duplicates within the epoch: every drawn row is distinct
-        assert len(np.unique(block)) == block.size
 
 
 def test_epoch_plan():

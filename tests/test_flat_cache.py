@@ -106,9 +106,14 @@ def test_plan_cache_storage_tiers(monkeypatch):
     assert loader.plan_cache_storage([[shp], [shp]], mesh) == ["tiled", "tiled"]
     # flat when tiled doesn't fit but raw bytes do (the reference corpus)
     assert loader.plan_cache_storage([[big]], mesh) == ["flat"]
-    # largest-first greedy when only part fits: train flat, val streams
+    # largest-first greedy when only part fits the flat budget: train takes
+    # it; val still caches TILED on its own (each group runs its own epoch
+    # program and the fault bracket binds per-program — round-3 review fix)
     val = (9000, 2, 286, 286, 1)      # 1.47 GB — train+val flat > ceiling
-    assert loader.plan_cache_storage([[big], [val]], mesh) == ["flat", "stream"]
+    assert loader.plan_cache_storage([[big], [val]], mesh) == ["flat", "tiled"]
+    # a leftover group too big even for tiled alone still streams
+    val_big = (22000, 2, 286, 286, 1)  # 4.86 GB tiled > tiled ceiling
+    assert loader.plan_cache_storage([[big], [val_big]], mesh) == ["flat", "stream"]
     # beyond the flat ceiling entirely -> stream
     assert loader.plan_cache_storage([[huge]], mesh) == ["stream"]
     # mode switches

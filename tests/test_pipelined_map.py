@@ -1,14 +1,17 @@
-"""loader.pipelined_map — the parallel-transfer stage under streamed/hybrid
-batch producers and put_cache. It must yield results IN ORDER with bounded
-in-flight work; streamed-epoch RNG pairing and cache striping both depend on
-the ordering guarantee."""
+"""loader.pipelined_map and loader.prefetch_iter — the host pipeline stages
+under streamed/hybrid batch producers and put_cache. pipelined_map must yield
+results IN ORDER with bounded in-flight work (streamed-epoch RNG pairing and
+cache striping depend on the ordering guarantee); prefetch_iter must surface
+producer exceptions and release its producer thread when the consumer
+abandons the epoch (otherwise it blocks forever holding device-resident
+prefetched batches)."""
 
 import threading
 import time
 
 import pytest
 
-from gan_tpu.data.loader import pipelined_map
+from gan_tpu.data.loader import pipelined_map, prefetch_iter
 
 
 def test_order_preserved_under_unequal_latency():
@@ -71,3 +74,41 @@ def test_put_streams_env_override(monkeypatch):
 def test_empty_and_short_iterables():
     assert list(pipelined_map(iter([]), lambda x: x)) == []
     assert list(pipelined_map(iter([42]), lambda x: x + 1)) == [43]
+
+
+def test_prefetch_iter_order_and_exception():
+    def src():
+        yield from range(5)
+        raise ValueError("decode failed")
+
+    g = prefetch_iter(src(), depth=2)
+    assert [next(g) for _ in range(5)] == list(range(5))
+    with pytest.raises(ValueError, match="decode failed"):
+        next(g)
+
+
+def test_prefetch_iter_depth_zero_is_passthrough(monkeypatch):
+    monkeypatch.setenv("GAN_TPU_PREFETCH_DEPTH", "0")
+    before = set(threading.enumerate())
+    assert list(prefetch_iter(iter(range(4)))) == [0, 1, 2, 3]
+    assert set(threading.enumerate()) == before  # no producer thread
+
+
+def test_prefetch_iter_abandon_unblocks_producer():
+    """Closing the drain generator mid-epoch (a step raised, the caller
+    dropped the iterator) must terminate the producer thread — otherwise it
+    blocks forever on the full queue, pinning `depth` prefetched
+    device-resident batches of HBM for the rest of the process."""
+    def src():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    before = set(threading.enumerate())
+    g = prefetch_iter(src(), depth=1)
+    (producer,) = [t for t in threading.enumerate() if t not in before]
+    assert next(g) == 0
+    g.close()  # consumer abandons the epoch
+    producer.join(timeout=5.0)
+    assert not producer.is_alive()
