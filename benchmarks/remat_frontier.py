@@ -81,11 +81,19 @@ def cell(batch: int, remat: str, steps: int = 16) -> dict:
 
 
 if __name__ == "__main__":
-    batches = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+    save = "--save" in sys.argv
+    batches = [int(a) for a in sys.argv[1:] if a != "--save"] or [8, 16, 32, 64]
     results = []
     for batch in batches:
         for remat in ("off", "on"):
             r = cell(batch, remat)
             results.append(r)
             print(json.dumps(r), flush=True)
-    print(json.dumps({"remat_frontier_512": results}))
+    report = {"remat_frontier_512": results}
+    print(json.dumps(report))
+    if save:
+        out = os.path.join(os.path.dirname(__file__), "results",
+                           "remat_frontier.json")
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {out}")
