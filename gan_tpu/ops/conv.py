@@ -46,9 +46,65 @@ def conv2d_same(x, w, stride: int = 2, *, compute_dtype=None):
     )
 
 
+def _down_impl() -> str:
+    """GAN_TPU_DOWN: 'std' | 's2d' | 'auto' — stem-conv lowering selector.
+
+    's2d' rewrites the k=4 s=2 downsample conv as space-to-depth + one 2×2
+    stride-1 conv (``conv2d_down_s2d``). The candidate win is the C_in∈{1,2}
+    STEM convs (G reads grayscale, D reads a 2-channel concat): a 1-channel
+    NHWC activation pads its lane dim heavily in the tiled layout, so the
+    stem is bandwidth-bound on padding; space-to-depth packs 4 real channels
+    per pixel before the conv. 'auto' dispatches s2d for C_in < 4 with even
+    H, W only if it measures faster on the target (benchmarks/stem_bench.py)
+    — default 'std' until the chip-measured policy lands here."""
+    import os
+    return os.environ.get("GAN_TPU_DOWN", "std")
+
+
 def conv2d_down(x, w, *, compute_dtype=None):
     """Stride-2 'same' conv — the U-Net / PatchGAN downsample conv (base_gan.py:78)."""
+    impl = _down_impl()
+    if (w.shape[0] == 4 and w.shape[1] == 4
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and (impl == "s2d" or (impl == "auto" and w.shape[2] < 4))):
+        return conv2d_down_s2d(x, w, compute_dtype=compute_dtype)
     return conv2d_same(x, w, 2, compute_dtype=compute_dtype)
+
+
+def conv2d_down_s2d(x, w, *, compute_dtype=None):
+    """``conv2d_down`` (k=4, s=2, TF-'same', even H/W) rewritten as
+    space-to-depth + ONE 2×2 stride-1 VALID conv — numerically identical
+    (same 16·C_in taps per output; tested) but with the input packed 4
+    channels per pixel before it reaches the conv.
+
+    Derivation: for even H the TF-'same' pad is (1, 1), so
+    ``out[i,j] = Σ_{a,b∈[0,4)} x_pad[2i+a, 2j+b] · w[a,b]`` with
+    ``x_pad = pad(x, 1)``. Writing ``a = 2r + di`` (r, di ∈ {0,1}) and
+    space-to-depth'ing the padded input — ``x_sd[i', j', (di,dj,c)] =
+    x_pad[2i'+di, 2j'+dj, c]`` — makes it a 2×2 VALID conv over ``x_sd``
+    with the kernel re-indexed ``w_sd[r, c', (di,dj,c), f] =
+    w[2r+di, 2c'+dj, c, f]``. Output (H+2)/2 − 1 = H/2 per dim. The
+    backward pass is the plain adjoint of pad/reshape/conv — no dilated
+    small-C conv anywhere.
+    """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    n, h, wd, c = x.shape
+    f = w.shape[3]
+    assert h % 2 == 0 and wd % 2 == 0, "s2d stem needs even H, W"
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x_sd = (xp.reshape(n, (h + 2) // 2, 2, (wd + 2) // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, (h + 2) // 2, (wd + 2) // 2, 4 * c))
+    # (4,4,C,F) -> (r, di, c', dj, C, F) -> (r, c', di, dj, C, F) -> (2,2,4C,F)
+    w_sd = (w.reshape(2, 2, 2, 2, c, f)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(2, 2, 4 * c, f))
+    return lax.conv_general_dilated(
+        x_sd, w_sd, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=x_sd.dtype,
+    )
 
 
 def conv2d_valid(x, w, *, compute_dtype=None):

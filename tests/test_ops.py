@@ -81,6 +81,38 @@ class TestConv:
         out = conv2d_down(jnp.asarray(x), jnp.asarray(w), compute_dtype=jnp.bfloat16)
         assert out.dtype == jnp.bfloat16
 
+    def test_conv_down_s2d_matches_std(self):
+        # space-to-depth stem rewrite: value AND grad parity vs conv2d_same
+        from gan_tpu.ops.conv import conv2d_down_s2d, conv2d_same
+        for h, ci, co in [(8, 1, 16), (16, 2, 8), (8, 3, 4), (12, 4, 8)]:
+            x = jnp.asarray(RNG.standard_normal((2, h, h, ci), dtype=np.float32))
+            w = jnp.asarray(RNG.standard_normal((4, 4, ci, co), dtype=np.float32))
+            a = conv2d_same(x, w, 2)
+            b = conv2d_down_s2d(x, w)
+            assert b.shape == a.shape == (2, h // 2, h // 2, co)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
+            f1 = lambda x, w: jnp.sum(conv2d_same(x, w, 2) ** 2)
+            f2 = lambda x, w: jnp.sum(conv2d_down_s2d(x, w) ** 2)
+            g1 = jax.grad(f1, argnums=(0, 1))(x, w)
+            g2 = jax.grad(f2, argnums=(0, 1))(x, w)
+            for ga, gb in zip(g1, g2):
+                np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                           rtol=2e-4, atol=2e-4)
+
+    def test_conv_down_s2d_env_dispatch(self, monkeypatch):
+        # GAN_TPU_DOWN=s2d routes small-C_in even-size convs through the
+        # rewrite; odd sizes and wide C_in always fall back to the std path
+        x = jnp.asarray(RNG.standard_normal((1, 8, 8, 1), dtype=np.float32))
+        w = jnp.asarray(RNG.standard_normal((4, 4, 1, 8), dtype=np.float32))
+        base = np.asarray(conv2d_down(x, w))
+        monkeypatch.setenv("GAN_TPU_DOWN", "s2d")
+        np.testing.assert_allclose(np.asarray(conv2d_down(x, w)), base,
+                                   rtol=1e-5, atol=1e-5)
+        x_odd = jnp.asarray(RNG.standard_normal((1, 7, 7, 1), dtype=np.float32))
+        w1 = jnp.asarray(RNG.standard_normal((4, 4, 1, 4), dtype=np.float32))
+        assert conv2d_down(x_odd, w1).shape == (1, 4, 4, 4)  # std fallback
+
 
 class TestLosses:
     def test_bce_matches_torch(self):
