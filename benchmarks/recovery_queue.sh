@@ -9,15 +9,21 @@ set -u
 cd "$(dirname "$0")/.."
 STATUS=/tmp/tpu_status.log
 
+WATCHER_PID="${WATCHER_PID:-}"   # the single external probe loop, if any
+
 wait_up() {
   while true; do
-    if tail -1 "$STATUS" 2>/dev/null | grep -q '^UP'; then return 0; fi
-    if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
-      echo "UP $(date -u +%H:%M:%S) (recovery_queue probe)" >> "$STATUS"
-      return 0
+    if grep -q '^UP' "$STATUS" 2>/dev/null; then return 0; fi
+    # only probe ourselves if no external watcher is alive — two processes
+    # dialing the tunnel at the recovery moment can crash the worker again
+    if [ -z "$WATCHER_PID" ] || ! kill -0 "$WATCHER_PID" 2>/dev/null; then
+      if timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+        echo "UP $(date -u +%H:%M:%S) (recovery_queue probe)" >> "$STATUS"
+        return 0
+      fi
+      echo "DOWN $(date -u +%H:%M:%S) (recovery_queue probe)" >> "$STATUS"
     fi
-    echo "DOWN $(date -u +%H:%M:%S) (recovery_queue probe)" >> "$STATUS"
-    sleep 240
+    sleep 120
   done
 }
 
