@@ -123,7 +123,14 @@ class Pix2PixTrainer:
         self._sample_fn = None
         self._batch_fn = None
         # persistent jit wrappers for the per-epoch remainder batch (prep +
-        # step in one program, replicated over the mesh — runs at any size)
+        # step in one program, replicated over the mesh — runs at any size).
+        # These retrace per distinct tail SHAPE — deliberate: a run sees one
+        # tail size (N mod batch is constant across epochs), and the obvious
+        # fix (pad to a bucket + mask the loss means) would change the loss
+        # VALUES, because training-mode-everywhere BatchNorm (SURVEY §2.10-Q2)
+        # computes batch stats over whatever rows are present — padding rows
+        # would leak into every normalized activation, breaking parity with
+        # the reference's exact-size tail batch (pix2pix.py:156).
         self._rem_train = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, True))
         self._rem_eval = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, False))
 
