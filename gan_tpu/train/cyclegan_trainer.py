@@ -438,6 +438,13 @@ class CycleGANTrainer:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
 
+    # Hybrid epochs keep LESS resident than the pure-flat ceiling: at 100.6%
+    # of the 3.27 GB pure-flat bracket (20,140/domain resident) the worker
+    # crashed mid-epoch with the streamed tail's parallel puts + the
+    # streamed-step executable sharing the fault budget (observed r3, 25.4k/
+    # domain run). 0.8 leaves the concurrent-transfer machinery real headroom.
+    HYBRID_RESIDENT_MARGIN = 0.8
+
     def _hybrid_resident_rows(self, x, y, reserved_bytes: int = 0) -> int:
         """Largest batch-multiple row count (per domain) whose dual flat
         caches fit CycleGAN's flat budget minus ``reserved_bytes``; 0
@@ -446,7 +453,7 @@ class CycleGANTrainer:
                                          flat_cache_budget)
         budget = flat_cache_budget(
             self.mesh, safe_bytes=CYCLEGAN_FLAT_SAFE_BYTES) * self.mesh.size
-        budget = (budget - reserved_bytes) // 2  # per domain
+        budget = int((budget - reserved_bytes) * self.HYBRID_RESIDENT_MARGIN) // 2  # per domain
         row = -(-int(np.prod(x.shape[1:])) // 128) * 128
         b = self.config.batch_size
         if budget <= 0 or row <= 0:
@@ -666,21 +673,30 @@ class CycleGANTrainer:
         """Chunked batched inference. CycleGAN's instance norm is per-sample,
         so direct batching is exactly equivalent to the reference's per-image
         forwards (unlike Pix2Pix's batch norm — see Pix2PixTrainer). uint8
-        inputs are normalized to [-1, 1] on device per chunk."""
+        inputs are normalized to [-1, 1] on device per chunk.
+
+        Chunks run through data.loader.pipelined_map so consecutive chunks'
+        h2d/compute/d2h overlap on parallel tunnel streams (see
+        Pix2PixTrainer.generate_batched); chunk RNG keys are offset-derived,
+        so the output is bit-identical to the serial loop."""
+        from gan_tpu.data.loader import pipelined_map
+
         if self._batch_fn is None:
             self._batch_fn = jax.jit(lambda p, x, k: self.gen.apply(
                 p, x, rng=k, compute_dtype=self.config.compute_dtype))
         base = jax.random.PRNGKey(self.config.seed + 2)
-        outs = []
-        for lo in range(0, inputs.shape[0], chunk):
+
+        def run(lo):
             xs = jnp.asarray(inputs[lo:lo + chunk])
             if xs.dtype == jnp.uint8:
                 xs = normalize_batch(xs, self.config.compute_dtype)
             else:
                 xs = xs.astype(self.config.compute_dtype)
-            outs.append(np.asarray(
+            return np.asarray(
                 self._batch_fn(self.params["gen_g"], xs,
-                               jax.random.fold_in(base, lo)), np.float32))
+                               jax.random.fold_in(base, lo)), np.float32)
+
+        outs = list(pipelined_map(range(0, inputs.shape[0], chunk), run))
         return np.concatenate(outs, axis=0)
 
     def predict(self, predict_cache, output_path: str,
@@ -688,8 +704,10 @@ class CycleGANTrainer:
         """prediction_images/img{N}.png via generator_g (cycle_gan.py:360-376).
         ``predict_cache`` is a (N,S,S,C) uint8 array or a data.loader
         FileCache; images are decoded/predicted/written in chunks so host
-        memory stays bounded at any corpus size."""
-        from gan_tpu.data.loader import iter_uint8_batches
+        memory stays bounded at any corpus size. The next chunk's device
+        inference runs on a prefetch thread while this one's grids render on
+        the host (see Pix2PixTrainer.predict)."""
+        from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
         from gan_tpu.train.pix2pix_trainer import _write_raw, raw_png_names
 
         plot_path = os.path.join(output_path, "prediction_images")
@@ -697,8 +715,9 @@ class CycleGANTrainer:
         n = predict_cache.shape[0]
         png_names = raw_png_names(raw_names, n) if raw else None
         off = 0
-        for batch in iter_uint8_batches(predict_cache, 64):
-            preds = self.generate_batched(batch)
+        inferred = ((batch, self.generate_batched(batch))
+                    for batch in iter_uint8_batches(predict_cache, 64))
+        for batch, preds in prefetch_iter(inferred, depth=1):
             for i in range(batch.shape[0]):
                 x = batch[i].astype(np.float32) / 127.5 - 1.0
                 save_image_grid([x, preds[i]],

@@ -74,6 +74,11 @@ def test_hybrid_resident_rows_budget(monkeypatch):
     # reserved bytes shrink it
     monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(2 * 20 * row))
     assert tr._hybrid_resident_rows(x, y, reserved_bytes=2 * 10 * row) == 8
+    # HYBRID_RESIDENT_MARGIN keeps headroom under the flat budget: at batch 4
+    # a 2·20-row budget yields 20·0.8 = 16 resident rows, not 20 (the pure-
+    # flat bracket crashed mid-hybrid-epoch at 100.6% occupancy, r3)
+    tr4 = CycleGANTrainer(_cfg(batch=4))
+    assert tr4._hybrid_resident_rows(x, y) == 16
 
 
 def test_fit_takes_cyclegan_hybrid_path(tmp_path, monkeypatch):
@@ -84,9 +89,10 @@ def test_fit_takes_cyclegan_hybrid_path(tmp_path, monkeypatch):
     monkeypatch.setattr(loader, "device_cache_fits", lambda *a, **k: False)
     row = -(-62 * 62 // 128) * 128
     vrow = -(-32 * 32 // 128) * 128
-    # val (flat) + 8 resident rows/domain for train
+    # val (flat) + 10 rows/domain headroom: HYBRID_RESIDENT_MARGIN (0.8)
+    # leaves 8 resident rows/domain for train
     monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX",
-                       str(2 * 32 * vrow + 2 * 8 * row))
+                       str(2 * 32 * vrow + 2 * 10 * row))
 
     tr = CycleGANTrainer(_cfg(batch=8))
     calls = []
