@@ -81,14 +81,19 @@ def generator_depth(img_size: int) -> int:
 
 
 def use_remat(config, n_devices: int = 1) -> bool:
-    """Gradient checkpointing costs real throughput, so ``auto`` enables it
-    only beyond the largest per-device activation footprint measured to fit
-    v5e HBM without it: 256 "256²-image equivalents" (= 512² batch 64, which
-    trains at 192 img/s rematerialization-free; 512² batch 32 runs 291 vs 167
-    with remat)."""
+    """Gradient checkpointing usually costs throughput, so ``auto`` enables
+    it only beyond the largest per-device activation footprint measured to
+    fit v5e HBM without it: 256 "256²-image equivalents" (= 512² batch 64,
+    13.3 GB compile-time peak, trains rematerialization-free) — EXCEPT at
+    small 512²+ per-device batches, where remat measured decisively FASTER
+    (512² batch 8: 210 vs 130 img/s/chip; batch 16 flips back, 259 vs 280 —
+    benchmarks/results/remat_frontier.json), so ``auto`` turns it on there
+    too."""
     if config.remat in ("on", "off"):
         return config.remat == "on"
     per_dev = max(1, config.batch_size // max(1, n_devices))
+    if config.img_size >= 512 and per_dev <= 8:
+        return True
     footprint = per_dev * (config.img_size / 256) ** 2  # 256²-image equivalents
     return footprint > 256
 
@@ -553,15 +558,24 @@ class Pix2PixTrainer:
         ``vmap``-ed over size-1 sub-batches: identical per-image math, one
         fused device program per chunk (the batch-inference path of
         BASELINE.json config #5). uint8 inputs are normalized to [-1, 1] on
-        device per chunk."""
+        device per chunk.
+
+        Chunks run through data.loader.pipelined_map, so the h2d upload,
+        device forward, and d2h fetch of consecutive chunks overlap on
+        parallel tunnel streams (2-4 streams aggregate ~1.9× one stream's
+        bandwidth — benchmarks/transfer_bench.py); results return in order,
+        and per-image RNG keys are index-derived, so the output is
+        bit-identical to the serial loop."""
+        from gan_tpu.data.loader import pipelined_map
+
         if self._batch_fn is None:
             def one(p, x1, k):
                 return self.gen.apply(p, x1[None], rng=k,
                                       compute_dtype=self.config.compute_dtype)[0]
             self._batch_fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
         base = jax.random.PRNGKey(self.config.seed + 2)
-        outs = []
-        for lo in range(0, inputs.shape[0], chunk):
+
+        def run(lo):
             xs = jnp.asarray(inputs[lo:lo + chunk])
             if xs.dtype == jnp.uint8:
                 xs = normalize_batch(xs, self.config.compute_dtype)
@@ -569,8 +583,10 @@ class Pix2PixTrainer:
                 xs = xs.astype(self.config.compute_dtype)
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
                 jnp.arange(lo, lo + xs.shape[0]))
-            outs.append(np.asarray(self._batch_fn(self.params["gen"], xs, keys),
-                                   np.float32))
+            return np.asarray(self._batch_fn(self.params["gen"], xs, keys),
+                              np.float32)
+
+        outs = list(pipelined_map(range(0, inputs.shape[0], chunk), run))
         return np.concatenate(outs, axis=0)
 
     def predict(self, predict_cache, output_path: str,
@@ -586,16 +602,20 @@ class Pix2PixTrainer:
         predicted, and written in CHUNKS, so host memory stays bounded at any
         corpus size (the reference holds only one image at a time,
         pix2pix.py:337, but re-decodes per image; we chunk for batched device
-        inference)."""
-        from gan_tpu.data.loader import iter_uint8_batches
+        inference). The next chunk's device inference runs on a prefetch
+        thread while this one's grids render on the host (matplotlib is the
+        e2e bottleneck — benchmarks/infer_bench.py), hiding the device +
+        tunnel time entirely."""
+        from gan_tpu.data.loader import iter_uint8_batches, prefetch_iter
 
         plot_path = os.path.join(output_path, "prediction_images")
         os.makedirs(plot_path, exist_ok=True)
         n = predict_cache.shape[0]
         png_names = raw_png_names(raw_names, n) if raw else None
         off = 0
-        for batch in iter_uint8_batches(predict_cache, 64):
-            preds = self.generate_batched(batch[:, 0])
+        inferred = ((batch, self.generate_batched(batch[:, 0]))
+                    for batch in iter_uint8_batches(predict_cache, 64))
+        for batch, preds in prefetch_iter(inferred, depth=1):
             for i in range(batch.shape[0]):
                 pair = batch[i].astype(np.float32) / 127.5 - 1.0
                 save_image_grid([pair[0], pair[1], preds[i]],
