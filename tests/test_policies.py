@@ -24,6 +24,13 @@ def test_use_remat_auto_thresholds():
     assert use_remat(_cfg(img_size=512, batch_size=128), 1)
     # ...unless the batch shards across devices
     assert not use_remat(_cfg(img_size=512, batch_size=128, num_devices=8), 8)
+    # small 512² per-device batches: remat measured FASTER (210 vs 130
+    # img/s at batch 8 — benchmarks/results/remat_frontier.json), auto=on
+    assert use_remat(_cfg(img_size=512, batch_size=8), 1)
+    assert use_remat(_cfg(img_size=512, batch_size=64, num_devices=8), 8)
+    assert not use_remat(_cfg(img_size=512, batch_size=16), 1)  # flips back
+    # the small-batch gate is 512²-specific: unmeasured at 256², stays off
+    assert not use_remat(_cfg(img_size=256, batch_size=8), 1)
     # explicit override wins both ways
     assert use_remat(_cfg(remat="on"), 1)
     assert not use_remat(_cfg(img_size=512, batch_size=512, remat="off"), 1)
