@@ -94,6 +94,19 @@ if __name__ == "__main__":
     if save:
         out = os.path.join(os.path.dirname(__file__), "results",
                            "remat_frontier.json")
+        # merge by (batch, remat) so incremental cells extend the committed
+        # table instead of clobbering it (and keep any peak_hbm_gb columns
+        # hbm_probe.py merged in for untouched rows)
+        if os.path.exists(out):
+            with open(out) as f:
+                prev = json.load(f)
+            rows = {(r["batch_per_chip"], r["remat"]): r
+                    for r in prev.get("remat_frontier_512", [])}
+            rows.update({(r["batch_per_chip"], r["remat"]): r
+                         for r in results})
+            prev["remat_frontier_512"] = sorted(
+                rows.values(), key=lambda r: (r["batch_per_chip"], r["remat"]))
+            report = prev
         with open(out, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {out}")
