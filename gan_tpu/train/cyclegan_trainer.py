@@ -90,6 +90,14 @@ class CycleGANTrainer:
     # and the concat/split bookkeeping stops paying
     BATCHED_PASS_MAX = 16
 
+    # per-step cost model for epoch segmentation (loop.seg_max_steps):
+    # measured v5e 256² — batch-32 steps ~105 ms (305 pairs/s) → ~3.3
+    # ms/pair; batch-4 steps ~30 ms (135 pairs/s, the fixed-cost floor).
+    # CycleGAN is where the axon long-program fault actually bit (its
+    # batch-4 reference config scans 82+ s unsegmented at 12k/domain).
+    SEG_T_MIN_MS = 30.0
+    SEG_T_IMG_MS = 4.0
+
     def _losses(self, params, x, y, key):
         """Combined loss with stop-gradient partitioning; picks the batched
         or per-application forward structure by (static) batch size."""
@@ -321,12 +329,17 @@ class CycleGANTrainer:
         all_losses = []
         if n_steps:
             fn = self._get_epoch_fn(training, mode)
+            seg = loop.seg_max_steps(b_loc, cfg.img_size, self.mesh,
+                                     t_min_ms=self.SEG_T_MIN_MS,
+                                     t_img_ms=self.SEG_T_IMG_MS)
             if training:
-                self.params, self.opt_states, losses = fn(
-                    self.params, self.opt_states, caches_dev, perms, epoch_key)
+                self.params, self.opt_states, losses = loop.run_epoch_segments(
+                    fn, self.params, self.opt_states, caches_dev, perms,
+                    epoch_key, max_steps=seg)
             else:
-                _, _, losses = fn(self.params, self.opt_states, caches_dev,
-                                  perms, epoch_key)
+                _, _, losses = loop.run_epoch_segments(
+                    fn, self.params, self.opt_states, caches_dev, perms,
+                    epoch_key, max_steps=seg)
             all_losses.append(np.asarray(losses))
         if total_ref > n_steps:  # the shorter domain's partial final batch
             bx = min(b, nx - n_steps * b)
@@ -517,12 +530,17 @@ class CycleGANTrainer:
                     buffer_size=cfg.buffer_size, rng=rng)
                 perms = {"x": px, "y": py}
             fn = self._get_epoch_fn(training, "take")
+            seg = loop.seg_max_steps(b_loc, cfg.img_size, self.mesh,
+                                     t_min_ms=self.SEG_T_MIN_MS,
+                                     t_img_ms=self.SEG_T_IMG_MS)
             if training:
-                self.params, self.opt_states, losses = fn(
-                    self.params, self.opt_states, caches_dev, perms, epoch_key)
+                self.params, self.opt_states, losses = loop.run_epoch_segments(
+                    fn, self.params, self.opt_states, caches_dev, perms,
+                    epoch_key, max_steps=seg)
             else:
-                _, _, losses = fn(self.params, self.opt_states, caches_dev,
-                                  perms, epoch_key)
+                _, _, losses = loop.run_epoch_segments(
+                    fn, self.params, self.opt_states, caches_dev, perms,
+                    epoch_key, max_steps=seg)
             all_losses.append(np.asarray(losses))
 
         stream_losses = self._consume_stream(tail, epoch_key, training)

@@ -33,6 +33,16 @@ front (donated identity jit with an explicit out_shardings Format) — the copy
 disappears from the epoch program and only the per-step batch is relaid
 (~5 MB). Host→device transfers directly into custom layouts crash the axon
 runtime, hence the two-step transfer-then-relayout.
+
+Program-length ceiling: the axon worker faults on epoch programs that
+*execute* too long (round-3 bracket — ~65 s programs pass, ~82 s+ fault —
+while XLA memory_analysis clears the crashers of OOM). Long epochs therefore
+run as balanced SEGMENTS of one compiled scan program (
+:func:`run_epoch_segments` + the trainers' per-step cost models via
+:func:`seg_max_steps`): params/opt-states chain between segments as donated
+device futures (no host sync), and the epoch program takes a traced ``step0``
+so the global per-step RNG stream continues across segments — a segmented
+epoch is bit-identical to the single-program epoch (tests/test_segments.py).
 """
 
 from __future__ import annotations
@@ -66,7 +76,7 @@ def make_cached_epoch(mesh, extract_fn: Callable, step_fn: Callable, *,
     Returns (params, opt_states, losses (n_steps, K)).
     """
 
-    def epoch(params, opt_states, caches, perms, key):
+    def epoch(params, opt_states, caches, perms, key, step0):
         d_idx = jax.lax.axis_index(DATA_AXIS)
 
         def body(carry, xs):
@@ -84,17 +94,94 @@ def make_cached_epoch(mesh, extract_fn: Callable, step_fn: Callable, *,
 
         n_steps = jax.tree_util.tree_leaves(perms)[0].shape[0]
         (params, opt_states), losses = jax.lax.scan(
-            body, (params, opt_states), (perms, jnp.arange(n_steps)))
+            body, (params, opt_states), (perms, step0 + jnp.arange(n_steps)))
         return params, opt_states, losses
 
     sm = jax.shard_map(
         epoch, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(None, DATA_AXIS), P()),
+        in_specs=(P(), P(), P(DATA_AXIS), P(None, DATA_AXIS), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
     donate = (0, 1) if training else ()
-    return jax.jit(sm, donate_argnums=donate)
+    jitted = jax.jit(sm, donate_argnums=donate)
+
+    # step0 is a TRACED scalar: epoch segments (run_epoch_segments) reuse one
+    # compiled program per segment LENGTH while the global step index — and
+    # with it the per-step RNG stream — continues across segment calls.
+    def call(params, opt_states, caches, perms, key, step0=0):
+        return jitted(params, opt_states, caches, perms, key,
+                      jnp.asarray(step0, jnp.int32))
+
+    # AOT probes (benchmarks/hbm_probe.py) lower the exact executable
+    call.lower = lambda p, o, c, pr, k, step0=0: jitted.lower(
+        p, o, c, pr, k, jnp.asarray(step0, jnp.int32))
+    return call
+
+
+# The axon TPU worker faults on epoch programs that EXECUTE too long: the
+# round-3 bracket (benchmarks/cg_hbm_probe.py + live runs) separates cleanly
+# on single-program wall time — CycleGAN 625-step/65 s programs pass, 795-step
+# (~83 s) and 3000-step/82+ s programs fault — while XLA's own memory_analysis
+# puts the crashing programs at 5.3 GB of 16 (not OOM) and argument bytes
+# below passing Pix2Pix configs. run_epoch_segments bounds every epoch
+# program near this target by splitting the scan into balanced segments that
+# chain params/opt-states (donated) and CONTINUE the global step index, so a
+# segmented epoch is bit-identical to the single-program epoch (tested).
+SEG_TARGET_SECONDS = 40.0
+
+
+def seg_max_steps(per_dev_batch: int, img_size: int, mesh, *,
+                  t_min_ms: float, t_img_ms: float) -> int:
+    """Steps-per-program cap for :func:`run_epoch_segments`.
+
+    Per-step time is estimated as ``max(t_min_ms, per_dev_batch · t_img_ms ·
+    (img/256)²)`` — a dispatch/fixed-cost floor plus a conservative per-image
+    cost, both measured per model at 256² on v5e (trainer constants; the
+    floor dominates at small batch where throughput doesn't scale down
+    linearly). Returns 0 (no segmentation) off-TPU — the fault is
+    axon-stack-specific and CPU test meshes should exercise the
+    single-program path by default. Overrides: GAN_TPU_EPOCH_SEG_STEPS
+    (0 disables; any platform), GAN_TPU_EPOCH_SEG_SECONDS (target time)."""
+    import os
+
+    env = os.environ.get("GAN_TPU_EPOCH_SEG_STEPS")
+    if env is not None:
+        return int(env)
+    if mesh.devices.flat[0].platform != "tpu":
+        return 0
+    target = float(os.environ.get("GAN_TPU_EPOCH_SEG_SECONDS",
+                                  SEG_TARGET_SECONDS))
+    step_s = max(t_min_ms,
+                 per_dev_batch * t_img_ms * (img_size / 256.0) ** 2) / 1e3
+    return max(1, int(target / step_s))
+
+
+def run_epoch_segments(fn, params, opt_states, caches, perms, key, *,
+                       max_steps: int = 0):
+    """Run a cached epoch as one or more scan programs of ≤ ``max_steps``
+    steps (see SEG_TARGET_SECONDS). Segments are balanced (at most two
+    distinct lengths → at most two compiled programs), dispatched
+    back-to-back without host syncs — params/opt-states chain as donated
+    device futures — and the per-step RNG stream continues across segments
+    via the epoch program's ``step0``, so results are bit-identical to the
+    unsegmented call. ``max_steps <= 0`` runs the single-program path."""
+    n_steps = jax.tree_util.tree_leaves(perms)[0].shape[0]
+    if max_steps <= 0 or n_steps <= max_steps:
+        return fn(params, opt_states, caches, perms, key)
+    n_seg = -(-n_steps // max_steps)
+    q = -(-n_steps // n_seg)
+    parts = []
+    lo = 0
+    while lo < n_steps:
+        hi = min(lo + q, n_steps)
+        sub = jax.tree_util.tree_map(lambda p: p[lo:hi], perms)
+        params, opt_states, losses = fn(params, opt_states, caches, sub,
+                                        key, step0=lo)
+        parts.append(losses)
+        lo = hi
+    losses = np.concatenate([np.asarray(l) for l in parts], axis=0)
+    return params, opt_states, losses
 
 
 def make_sharded_step(mesh, prep_fn: Callable, step_fn: Callable, *,

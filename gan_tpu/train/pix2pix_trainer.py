@@ -99,6 +99,15 @@ def use_remat(config, n_devices: int = 1) -> bool:
 
 
 class Pix2PixTrainer:
+    # per-step cost model for epoch segmentation (loop.seg_max_steps):
+    # measured v5e 256² batch-128 steps run ~87 ms (1,473 img/s) → ~0.7
+    # ms/img; 1.0 is the conservative slope, the 25 ms floor covers
+    # small-batch fixed costs. Keeps the batch-128 full-corpus epoch
+    # (198 steps, ~17 s) a single program while capping every config near
+    # loop.SEG_TARGET_SECONDS.
+    SEG_T_MIN_MS = 25.0
+    SEG_T_IMG_MS = 1.0
+
     def __init__(self, config: Pix2PixConfig, *, mesh=None):
         self.config = config
         c = config.n_channels
@@ -266,12 +275,17 @@ class Pix2PixTrainer:
             perm = loop.local_perm(n, ndev=ndev, n_steps=n_steps,
                                    per_dev_batch=b_loc)
             fn = self._get_epoch_fn(training, mode)
+            seg = loop.seg_max_steps(b_loc, self.config.img_size, self.mesh,
+                                     t_min_ms=self.SEG_T_MIN_MS,
+                                     t_img_ms=self.SEG_T_IMG_MS)
             if training:
-                self.params, self.opt_states, losses = fn(
-                    self.params, self.opt_states, cache_dev, perm, epoch_key)
+                self.params, self.opt_states, losses = loop.run_epoch_segments(
+                    fn, self.params, self.opt_states, cache_dev, perm,
+                    epoch_key, max_steps=seg)
             else:
-                _, _, losses = fn(self.params, self.opt_states, cache_dev, perm,
-                                  epoch_key)
+                _, _, losses = loop.run_epoch_segments(
+                    fn, self.params, self.opt_states, cache_dev, perm,
+                    epoch_key, max_steps=seg)
             all_losses.append(np.asarray(losses))
         if rem:
             all_losses.append(self._run_remainder(cache[n - rem:], epoch_key,
