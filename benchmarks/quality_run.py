@@ -33,19 +33,30 @@ from PIL import Image, ImageFilter
 ROOT = "/tmp/gan_tpu_quality"
 
 
+def blob_field(rng: np.random.Generator, size: int = 256) -> Image.Image:
+    """Smooth dark-biased blob field — the synthetic 'input' domain."""
+    noise = rng.normal(95, 55, (size // 8, size // 8))
+    img = Image.fromarray(np.clip(noise, 0, 255).astype(np.uint8), "L")
+    img = img.resize((size, size), Image.BILINEAR)
+    return img.filter(ImageFilter.GaussianBlur(3))
+
+
+def render_target(img: Image.Image) -> np.ndarray:
+    """Deterministic inverted + edge-mixed rendering of a blob field — the
+    synthetic 'target' domain (uint8)."""
+    inp = np.asarray(img, np.float32)
+    edges = np.asarray(img.filter(ImageFilter.FIND_EDGES), np.float32)
+    return np.clip((255.0 - inp) * 0.8 + edges * 0.6, 0, 255).astype(np.uint8)
+
+
 def make_corpus(root: str, n: int, size: int = 256, seed: int = 0) -> None:
     """Paired PNGs in the reference layout (input|target concatenated)."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     for i in range(n):
-        noise = rng.normal(95, 55, (size // 8, size // 8))
-        img = Image.fromarray(np.clip(noise, 0, 255).astype(np.uint8), "L")
-        img = img.resize((size, size), Image.BILINEAR)
-        img = img.filter(ImageFilter.GaussianBlur(3))
-        inp = np.asarray(img, np.float32)
-        edges = np.asarray(img.filter(ImageFilter.FIND_EDGES), np.float32)
-        tar = np.clip((255.0 - inp) * 0.8 + edges * 0.6, 0, 255)
-        pair = np.concatenate([inp, tar], axis=1).astype(np.uint8)
+        img = blob_field(rng, size)
+        pair = np.concatenate(
+            [np.asarray(img, np.uint8), render_target(img)], axis=1)
         Image.fromarray(pair, "L").save(os.path.join(root, f"pair_{i:05d}.png"))
 
 
