@@ -25,10 +25,12 @@ tier — measure each here:
     the same files: the upper bound any file-streaming path can sustain.
   * ``cyclegan``   — CycleGAN dual-domain host-array streaming.
   * ``cyclegan_flat`` — CycleGAN reference scale (25.4k/domain, 4.16 GB
-    total) fully device-resident flat.
-  * ``cyclegan_hybrid`` — CycleGAN resident-prefix + streamed-tail (the tier
-    the 25.4k/domain corpus actually hits: CycleGAN's flat ceiling is 3.3 GB
-    — loader.CYCLEGAN_FLAT_SAFE_BYTES).
+    total) fully device-resident flat: the tier the reference corpus hits
+    since epoch segmentation lifted the long-program fault (310 pairs/s at
+    batch 32 — no flat penalty vs 16k tiled; 146 at the reference batch-4
+    config).
+  * ``cyclegan_hybrid`` — CycleGAN resident-prefix + streamed-tail, for
+    corpora beyond even the flat ceiling (loader.CYCLEGAN_FLAT_SAFE_BYTES).
 
 Usage: python benchmarks/streaming.py MODE [n_imgs] [batch] [img_size]
 Prints one JSON line per run (same schema as bench.py).
@@ -272,9 +274,10 @@ def run_cyclegan_flat(n: int, batch: int, img_size: int, epochs: int = 2) -> dic
 
 def run_cyclegan_hybrid(n: int, batch: int, img_size: int,
                         epochs: int = 2) -> dict:
-    """CycleGAN resident-flat-prefix + streamed-tail epochs — the tier the
-    25.4k/domain reference corpus hits on one chip (4.16 GB flat vs the
-    3.3 GB CYCLEGAN_FLAT_SAFE_BYTES ceiling)."""
+    """CycleGAN resident-flat-prefix + streamed-tail epochs — for corpora
+    beyond the flat ceiling (the 25.4k/domain reference corpus itself fits
+    flat since epoch segmentation; emulate any resident fraction via
+    GAN_TPU_FLAT_CACHE_MAX)."""
     from gan_tpu.train import loop
 
     trainer, n_dev = _cyclegan_trainer(batch, img_size)

@@ -82,20 +82,25 @@ def device_cache_fits(nbytes: int, mesh, *, fraction: float = 0.4) -> bool:
     return per_dev <= min(fraction * limit, safe)
 
 
-# CycleGAN's flat ceiling is LOWER than Pix2Pix's: its epoch program carries
-# 2 G + 2 D + 4 Adam states and 6 generator forwards of activations, so the
-# 25,446/domain reference corpus (4.16 GB flat args) crashed the worker where
-# Pix2Pix's 4.17 GB ran (round 3). Bracketed: 3.27 GB (20k/domain) runs.
-# Beyond it, CycleGAN hybrid epochs keep the budget resident and stream the
-# rest. Override with GAN_TPU_FLAT_CACHE_MAX (applies to both models).
-CYCLEGAN_FLAT_SAFE_BYTES = 3_300_000_000
+# CycleGAN's flat ceiling equals Pix2Pix's. Round 3 first bracketed it LOWER
+# (3.3 GB: the 25,446/domain corpus, 4.16 GB flat args, crashed the worker
+# where Pix2Pix's 4.17 GB ran) — but that fault was the LONG-PROGRAM limit
+# (CycleGAN's small-batch epochs scan 3,000+ steps; programs past ~82 s
+# execution fault, XLA memory_analysis cleared them of OOM), not a bytes
+# boundary. With epochs segmented into bounded programs (loop.
+# run_epoch_segments) the full 4.16 GB dual-domain corpus trains flat at
+# full speed (measured r3, batch 4 AND 32). Kept as a named knob because
+# CycleGAN's epoch state (2 G + 2 D + 4 Adams) is the first thing to squeeze
+# if a future stack shifts the argument-bytes bracket. Override with
+# GAN_TPU_FLAT_CACHE_MAX (applies to both models).
+CYCLEGAN_FLAT_SAFE_BYTES = FLAT_CACHE_SAFE_BYTES
 
 
 def flat_cache_budget(mesh, *, fraction: float = 0.27,
                       safe_bytes: int | None = None) -> int:
     """Per-device byte budget for FLAT-stored caches (``safe_bytes``
-    defaults to FLAT_CACHE_SAFE_BYTES — see its comment; CycleGAN passes its
-    lower CYCLEGAN_FLAT_SAFE_BYTES; env-overridable via
+    defaults to FLAT_CACHE_SAFE_BYTES — see its comment; CycleGAN passes
+    CYCLEGAN_FLAT_SAFE_BYTES, today the same value; env-overridable via
     GAN_TPU_FLAT_CACHE_MAX; 0 off-TPU where there is no fault ceiling and
     tiled storage always wins). The ``fraction`` cap (applied only when the
     backend reports a memory limit) reflects flat storage's ~2× HBM

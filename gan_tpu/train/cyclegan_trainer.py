@@ -451,11 +451,14 @@ class CycleGANTrainer:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
 
-    # Hybrid epochs keep LESS resident than the pure-flat ceiling: at 100.6%
-    # of the 3.27 GB pure-flat bracket (20,140/domain resident) the worker
-    # crashed mid-epoch with the streamed tail's parallel puts + the
-    # streamed-step executable sharing the fault budget (observed r3, 25.4k/
-    # domain run). 0.8 leaves the concurrent-transfer machinery real headroom.
+    # Hybrid epochs keep LESS resident than the pure-flat ceiling: a 25.4k/
+    # domain hybrid run at 100.6% of the then-3.27 GB flat bracket crashed
+    # the worker mid-epoch (r3). That crash predated epoch segmentation and
+    # was likely the same long-program fault segmentation since fixed, but
+    # the streamed tail's parallel puts + the streamed-step executable DO
+    # share the argument-bytes budget with the resident cache, so 0.8 stays
+    # as measured-safe headroom (hybrid is now only reached beyond the full
+    # 4.2 GB flat ceiling, where re-bracketing has no production config).
     HYBRID_RESIDENT_MARGIN = 0.8
 
     def _hybrid_resident_rows(self, x, y, reserved_bytes: int = 0) -> int:
@@ -477,8 +480,9 @@ class CycleGANTrainer:
     def _run_epoch_hybrid(self, caches_dev, res_x, res_y, x, y, epoch_key, *,
                           training: bool, rng: np.random.Generator):
         """Resident-prefix + streamed-tail zip epoch for corpora beyond
-        CycleGAN's flat budget (the 25.4k/domain reference corpus: 4.16 GB
-        flat vs the 3.3 GB ceiling — see loader.CYCLEGAN_FLAT_SAFE_BYTES).
+        CycleGAN's flat budget (loader.CYCLEGAN_FLAT_SAFE_BYTES, 4.2 GB —
+        the 25.4k/domain reference corpus fits flat since epoch
+        segmentation; hybrid serves corpora beyond that).
 
         Rows [0, n_res) of EACH domain live device-resident (FlatCache) and
         run as the scanned epoch; later rows stream, their transfers

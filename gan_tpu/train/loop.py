@@ -561,19 +561,26 @@ def epoch_perm(n: int, buffer_size: int, rng: np.random.Generator) -> np.ndarray
     is taken."""
     if buffer_size >= n:
         return rng.permutation(n)
-    buf = np.arange(min(buffer_size, n))
+    b = min(buffer_size, n)
+    buf = np.arange(b)
     out = np.empty(n, np.int64)
-    nxt = len(buf)
-    end = len(buf)
-    for i in range(n):
-        j = int(rng.integers(0, end))
+    # The buffer sizes (draw bounds) are deterministic: b while the stream
+    # still refills it, then b-1, ..., 1 as it drains — so every random draw
+    # can be made in ONE vectorized call; only the cheap buffer chase stays
+    # a Python loop (it is inherently sequential: each draw depends on the
+    # buffer contents the previous draws produced).
+    ends = np.concatenate([np.full(n - b, b, np.int64), np.arange(b, 0, -1)])
+    js = rng.integers(0, ends)
+    nxt = b
+    for i in range(n - b):
+        j = js[i]
         out[i] = buf[j]
-        if nxt < n:
-            buf[j] = nxt
-            nxt += 1
-        else:
-            end -= 1
-            buf[j] = buf[end]
+        buf[j] = nxt
+        nxt += 1
+    for i in range(n - b, n):
+        j = js[i]
+        out[i] = buf[j]
+        buf[j] = buf[ends[i] - 1]
     return out
 
 

@@ -1,10 +1,9 @@
 """CycleGAN hybrid (resident-prefix + streamed-tail) epochs.
 
-The 25.4k/domain reference corpus (4.16 GB flat) exceeds CycleGAN's flat
-ceiling (loader.CYCLEGAN_FLAT_SAFE_BYTES — its epoch program carries 2 G +
-2 D + 4 Adams and crashed the worker where Pix2Pix's equal-sized cache ran),
-so reference-scale CycleGAN runs hybrid: both domains keep an equal
-batch-multiple resident prefix, tails stream with overlapped transfers.
+Corpora beyond CycleGAN's flat ceiling (loader.CYCLEGAN_FLAT_SAFE_BYTES,
+4.2 GB dual-domain — the 25.4k/domain reference corpus fits flat since
+epoch segmentation) run hybrid: both domains keep an equal batch-multiple
+resident prefix, tails stream with overlapped transfers.
 Sampling shuffles within the resident and tail partitions independently
 (documented bounded-mixing deviation); each row is visited at most once per
 epoch, exactly once for the shorter domain — pinned here via the step

@@ -122,6 +122,40 @@ def test_epoch_perm_windowed_shuffle():
     assert not np.array_equal(win, np.arange(1000))
 
 
+def test_epoch_perm_matches_scalar_reference():
+    """The vectorized buffer chase equals the direct per-step windowed-shuffle
+    algorithm (draw from buffer -> refill from stream -> drain) when both
+    consume the same random draws."""
+    from gan_tpu.train.loop import epoch_perm
+
+    def scalar_ref(n, b, js):
+        buf = np.arange(b)
+        out = np.empty(n, np.int64)
+        nxt, end = b, b
+        for i in range(n):
+            j = js[i]
+            out[i] = buf[j]
+            if nxt < n:
+                buf[j] = nxt
+                nxt += 1
+            else:
+                end -= 1
+                buf[j] = buf[end]
+        return out
+
+    for n, b, seed in [(50, 7, 0), (1000, 10, 1), (64, 64, 2), (65, 64, 3),
+                       (9, 3, 4)]:
+        b = min(b, n)
+        ends = np.concatenate(
+            [np.full(n - b, b, np.int64), np.arange(b, 0, -1)])
+        js = np.random.default_rng(seed).integers(0, ends)
+        got = epoch_perm(n, b, np.random.default_rng(seed))
+        if b >= n:  # fast path: full permutation, not the windowed algorithm
+            assert sorted(got.tolist()) == list(range(n))
+        else:
+            np.testing.assert_array_equal(got, scalar_ref(n, b, js))
+
+
 def test_raw_png_names_dedup():
     from gan_tpu.train.pix2pix_trainer import raw_png_names
 
