@@ -22,11 +22,9 @@ Usage: python benchmarks/quality_run_cyclegan.py [epochs] [n_per_domain] [out_js
 from __future__ import annotations
 
 import glob
-import io
 import json
 import os
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -34,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 from PIL import Image
 
-from quality_run import blob_field, render_target
+from quality_run import blob_field, eval_dirs, render_target
 
 ROOT = "/tmp/gan_tpu_quality_cg"
 
@@ -54,16 +52,6 @@ def make_domains(root: str, n: int, size: int = 256, seed: int = 0) -> None:
             os.path.join(root, "gt", name))
         Image.fromarray(render_target(fields[n + i]), "L").save(
             os.path.join(root, "y", name))
-
-
-def eval_dirs(gen: str, tar: str) -> dict:
-    from tools.eval_quality import main as eval_main
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        eval_main(["--generated", gen, "--target", tar, "--channels", "1",
-                   "--img-size", "256"])
-    return json.loads(buf.getvalue())
 
 
 def main() -> None:

@@ -13,7 +13,10 @@ WATCHER_PID="${WATCHER_PID:-}"   # the single external probe loop, if any
 
 wait_up() {
   while true; do
-    if grep -q '^UP' "$STATUS" 2>/dev/null; then return 0; fi
+    # only the LAST status line counts — a stale UP from before a crash must
+    # not short-circuit the recovery wait (that would cascade failures into
+    # the dead worker, the exact thing this queue exists to prevent)
+    if tail -1 "$STATUS" 2>/dev/null | grep -q '^UP'; then return 0; fi
     # only probe ourselves if no external watcher is alive — two processes
     # dialing the tunnel at the recovery moment can crash the worker again
     if [ -z "$WATCHER_PID" ] || ! kill -0 "$WATCHER_PID" 2>/dev/null; then

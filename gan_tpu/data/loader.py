@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Sequence
 
@@ -341,6 +342,14 @@ def prefetch_iter(it, depth: int = 2):
 
     threading.Thread(target=run, daemon=True).start()
 
+    def release():
+        stop.set()
+        try:                          # drop queued device refs promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
     def drain():
         try:
             while True:
@@ -351,14 +360,17 @@ def prefetch_iter(it, depth: int = 2):
                     raise item
                 yield item
         finally:
-            stop.set()
-            try:                      # drop queued device refs promptly
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+            release()
 
-    return drain()
+    gen = drain()
+    # A generator dropped before its FIRST next() never enters the body, so
+    # drain()'s finally never runs (gen.close() on an unstarted generator is
+    # a no-op too) — e.g. a hybrid epoch whose resident scan raises before
+    # consuming the pre-started tail stream. The finalizer releases the
+    # producer (and its up-to-`depth` queued device batches) in that case;
+    # it's idempotent with the normal finally path.
+    weakref.finalize(gen, release)
+    return gen
 
 
 def pipelined_map(it, fn, *, workers: int = 3, inflight: int = 6):
@@ -395,6 +407,21 @@ def pipelined_map(it, fn, *, workers: int = 3, inflight: int = 6):
             yield dq.popleft().result()
     finally:
         pool.shutdown(wait=False)
+
+
+def prefetched_put_stream(assemble_it, put_one, *, depth: int = 2,
+                          assemble_depth: int = 4):
+    """The streamed-epoch overlap stack, in one place for both trainers:
+    ``assemble_it`` (host batch assembly) drains into a prefetch thread,
+    its items flow through :func:`pipelined_map` (``put_one`` =
+    ``device_put`` on parallel tunnel streams), and the placed batches
+    buffer in a second prefetch layer ``depth`` deep. Both prefetch layers
+    start their threads at CALL time, so the parallel puts run while the
+    consumer is still blocked on a resident scan (hybrid epochs) or the
+    current step; the outer depth bounds device-resident prefetched
+    batches."""
+    inner = prefetch_iter(assemble_it, depth=assemble_depth)
+    return prefetch_iter(pipelined_map(inner, put_one), depth=depth)
 
 
 def _rebatch(batches, batch_size: int):

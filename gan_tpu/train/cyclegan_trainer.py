@@ -374,8 +374,8 @@ class CycleGANTrainer:
         h2d is the streamed path's bottleneck and 2-4 streams aggregate
         ~1.9×); full batches stripe-reorder so per-sample RNG pairing matches
         the cached striped layout (see make_sharded_step)."""
-        from gan_tpu.data.loader import (iter_uint8_batches, pipelined_map,
-                                         prefetch_iter)
+        from gan_tpu.data.loader import (iter_uint8_batches,
+                                         prefetched_put_stream)
 
         b = self.config.batch_size
         ndev = self.mesh.size
@@ -402,12 +402,7 @@ class CycleGANTrainer:
                                shard_batch(u8y, self.mesh)), True)
             return item
 
-        # both prefetch_iter layers start their threads at call time, so the
-        # parallel puts run while the consumer is still blocked on the
-        # resident scan (hybrid) or the current step; the outer depth bounds
-        # device-resident prefetched batches
-        inner = prefetch_iter(assemble(), depth=4)
-        return prefetch_iter(pipelined_map(inner, put), depth=depth)
+        return prefetched_put_stream(assemble(), put, depth=depth)
 
     def _consume_stream(self, batches, epoch_key, training: bool) -> list:
         """Run the sharded DP step over prefetched (step, pair, full) items;
@@ -470,7 +465,9 @@ class CycleGANTrainer:
         budget = flat_cache_budget(
             self.mesh, safe_bytes=CYCLEGAN_FLAT_SAFE_BYTES) * self.mesh.size
         budget = int((budget - reserved_bytes) * self.HYBRID_RESIDENT_MARGIN) // 2  # per domain
-        row = -(-int(np.prod(x.shape[1:])) // 128) * 128
+        # per-row flat bytes from the single source of truth (128-lane
+        # rounding lives in loop.flat_cache_nbytes)
+        row = loop.flat_cache_nbytes((32,) + x.shape[1:]) // 32
         b = self.config.batch_size
         if budget <= 0 or row <= 0:
             return 0

@@ -420,6 +420,16 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
             f"{n_local_dev} local devices (use mesh.process_stripe_rows)")
         l = max(1, cache_np.shape[0] // max(1, n_local_dev))
         global_rows = l * ndev
+    elif process_local:
+        # Single controller: process_stripe_rows covered the whole mesh, so
+        # the rows arrive already stripe-ordered and wrap-padded — re-striping
+        # them (the else branch) would silently scramble the row→device
+        # mapping. Same pod loader code runs unchanged on one process.
+        assert cache_np.shape[0] % ndev == 0, (
+            f"process-local cache rows {cache_np.shape[0]} must divide over "
+            f"{ndev} devices (use mesh.process_stripe_rows)")
+        l = max(1, cache_np.shape[0] // ndev)
+        global_rows = None
     else:
         n = cache_np.shape[0]
         if ndev > 1:

@@ -321,8 +321,8 @@ class Pix2PixTrainer:
         striping: per-sample augment/dropout RNG pairing and per-device BN
         stats then equal the cached epoch's at any per-device batch size
         (see make_sharded_step)."""
-        from gan_tpu.data.loader import (iter_uint8_batches, pipelined_map,
-                                         prefetch_iter)
+        from gan_tpu.data.loader import (iter_uint8_batches,
+                                         prefetched_put_stream)
 
         b = self.config.batch_size
         ndev = self.mesh.size
@@ -345,12 +345,7 @@ class Pix2PixTrainer:
             step, arr, full = item
             return (step, shard_batch(arr, self.mesh) if full else arr, full)
 
-        # both prefetch_iter layers start their threads at call time, so the
-        # parallel puts run while the consumer is still blocked on the
-        # resident scan (hybrid) or the current step; the outer depth bounds
-        # device-resident prefetched batches
-        inner = prefetch_iter(assemble(), depth=4)
-        return prefetch_iter(pipelined_map(inner, put), depth=depth)
+        return prefetched_put_stream(assemble(), put, depth=depth)
 
     def _consume_stream(self, batches, epoch_key, training: bool) -> list:
         """Run the sharded DP step over prefetched (step, arr, full) items;
@@ -418,13 +413,24 @@ class Pix2PixTrainer:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
         return np.concatenate(parts, axis=0)
 
+    # Hybrid epochs keep LESS resident than the pure-flat ceiling: the
+    # streamed tail's parallel device_puts and the streamed-step executable
+    # share the argument-bytes fault budget with the resident cache (the
+    # CycleGAN bracketing story — cyclegan_trainer.HYBRID_RESIDENT_MARGIN),
+    # so both trainers reserve the same 20% headroom.
+    HYBRID_RESIDENT_MARGIN = 0.8
+
     def _hybrid_resident_rows(self, cache, reserved_bytes: int = 0) -> int:
         """Largest batch-multiple row prefix of ``cache`` that fits the flat
         device budget (minus ``reserved_bytes`` taken by other cached
         groups); 0 disables the hybrid path (pure streaming)."""
         from gan_tpu.data.loader import flat_cache_budget
         budget = flat_cache_budget(self.mesh) * self.mesh.size - reserved_bytes
-        row = -(-int(np.prod(cache.shape[1:])) // 128) * 128
+        budget = int(budget * self.HYBRID_RESIDENT_MARGIN)
+        # per-row flat bytes from the single source of truth (128-lane
+        # rounding lives in loop.flat_cache_nbytes; 32 rows amortize its
+        # leading-dim rounding away)
+        row = loop.flat_cache_nbytes((32,) + cache.shape[1:]) // 32
         b = self.config.batch_size
         if budget <= 0 or row <= 0:
             return 0

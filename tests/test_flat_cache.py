@@ -184,10 +184,10 @@ def test_hybrid_resident_rows_budget(monkeypatch):
     cache = np.zeros((43, 2, 62, 62, 1), np.uint8)  # padded row = 7808 B
     # default budget off-TPU (no env) -> hybrid disabled
     assert tr._hybrid_resident_rows(cache) == 0
-    # budget for ~30 rows -> rounds down to a batch multiple (24)
+    # budget for 30 rows -> 0.8 HYBRID_RESIDENT_MARGIN -> 24 (a batch multiple)
     monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(30 * 7808))
     assert tr._hybrid_resident_rows(cache) == 24
-    # reserved bytes shrink it
+    # reserved bytes shrink it: (30-10) rows * 0.8 = 16
     assert tr._hybrid_resident_rows(cache, reserved_bytes=10 * 7808) == 16
     # huge budget caps at the largest batch multiple <= n
     monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(1 << 40))
@@ -203,8 +203,10 @@ def test_fit_takes_hybrid_path(tmp_path, monkeypatch):
     val = rng.integers(0, 255, (4, 2, 32, 32, 1), dtype=np.uint8)
     test = rng.integers(0, 255, (2, 2, 32, 32, 1), dtype=np.uint8)
     monkeypatch.setattr(loader, "device_cache_fits", lambda *a, **k: False)
-    # budget: fits val (1968 B/row flat-padded -> use generous 16-row train prefix)
-    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(4 * 2048 + 16 * 7808))
+    # budget: val reserves flat_cache_nbytes((4,2,32,32,1)) = 32*2048; the
+    # remaining 20 rows' worth shrinks by HYBRID_RESIDENT_MARGIN (0.8) to a
+    # 16-row train prefix — the margin is part of the sizing contract
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX", str(32 * 2048 + 20 * 7808))
 
     cfg = Pix2PixConfig(data="x", output="y", img_size=32, batch_size=8,
                         epochs=1, num_devices=1)

@@ -111,6 +111,31 @@ def test_put_global_multicontroller_branch_assembly(monkeypatch):
         np.testing.assert_array_equal(np.asarray(s.data), striped[d*3:(d+1)*3])
 
 
+def test_put_cache_process_local_single_controller():
+    """put_cache(process_local=True) at process_count()==1: the rows arrive
+    already stripe-ordered (process_stripe_rows covers the whole mesh), so
+    put_cache must NOT re-stripe them — the same pod loader code running on
+    a single controller has to produce the device layout of the plain path."""
+    import jax
+    import numpy as np
+    from gan_tpu.parallel.mesh import make_mesh, process_stripe_rows
+    from gan_tpu.train.loop import put_cache
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    n = 20  # not a multiple of 8 — exercises the wrap padding too
+    cache = np.arange(n * 3, dtype=np.uint8).reshape(n, 3)
+
+    plain = put_cache(cache, mesh)
+    local = put_cache(cache[process_stripe_rows(n, mesh)], mesh,
+                      process_local=True)
+    devs = list(mesh.devices.flat)
+    by_dev = {devs.index(s.device): np.asarray(s.data)
+              for s in plain.addressable_shards}
+    for s in local.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s.data),
+                                      by_dev[devs.index(s.device)])
+
+
 def test_epoch_on_multicontroller_assembled_cache(monkeypatch):
     """A full DP train epoch over a cache placed through the forced
     multi-controller assembly path produces the same losses as the

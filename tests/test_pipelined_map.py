@@ -112,3 +112,26 @@ def test_prefetch_iter_abandon_unblocks_producer():
     g.close()  # consumer abandons the epoch
     producer.join(timeout=5.0)
     assert not producer.is_alive()
+
+
+def test_prefetch_iter_dropped_unstarted_releases_producer():
+    """Dropping the iterator before its FIRST next() must also terminate the
+    producer (drain()'s finally never runs for an unstarted generator, and
+    gen.close() is a no-op there) — e.g. a hybrid epoch whose resident scan
+    raises before consuming the pre-started tail stream. Without the
+    finalizer the producer spins forever holding `depth` queued batches."""
+    import gc
+
+    def src():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    before = set(threading.enumerate())
+    g = prefetch_iter(src(), depth=1)
+    (producer,) = [t for t in threading.enumerate() if t not in before]
+    del g          # never iterated
+    gc.collect()   # finalizer fires -> stop set -> producer exits
+    producer.join(timeout=5.0)
+    assert not producer.is_alive()
