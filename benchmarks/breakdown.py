@@ -91,6 +91,25 @@ def main():
         return c + combined.astype(dt) * 1e-9
     results["losses_fwd"] = scan_time(lfwd, jnp.zeros((), dt), k)
 
+    def gstep(c, i):
+        grads, _ = jax.grad(t._losses, has_aux=True)(
+            t.params, x0 + c, y0, jax.random.fold_in(key, i))
+        s = sum(jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(grads))
+        return c + (s * 1e-20).astype(dt)
+    results["grads_fwdbwd"] = scan_time(gstep, jnp.zeros((), dt), k)
+
+    gfix = jax.tree_util.tree_map(jnp.ones_like, t.params)
+
+    def aonly(carry, i):
+        params, opt = carry
+        up_g, os_g = t.tx_gen.update(gfix["gen"], opt["gen"], params["gen"])
+        up_d, os_d = t.tx_disc.update(gfix["disc"], opt["disc"], params["disc"])
+        params = {"gen": jax.tree_util.tree_map(lambda p, u: p + u, params["gen"], up_g),
+                  "disc": jax.tree_util.tree_map(lambda p, u: p + u, params["disc"], up_d)}
+        return (params, {"gen": os_g, "disc": os_d})
+    results["adam_only"] = scan_time(aonly, (t.params, t.opt_states), k)
+
     def step(carry, i):
         params, opt = carry
         params, opt, _ = t._train_step(params, opt, (x0, y0),
