@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
 """Per-component timing breakdown on the current backend.
 
-Times each piece of the Pix2Pix step (augment, G fwd, D fwd, fused loss fwd,
-full train step) so kernel work targets the real bottleneck. Each piece is
-wrapped in a K-iteration ``lax.scan`` inside one jit and the result is
-fetched, so the measurement is true device time — per-dispatch timing is
-meaningless over remote-tunnel backends (axon).
+Times each piece of the train step (augment, G fwd, D fwd, fused loss fwd,
+fwd+bwd, Adam-only, full train step) so kernel work targets the real
+bottleneck. Each piece is wrapped in a K-iteration ``lax.scan`` inside one
+jit and the result is fetched, so the measurement is true device time —
+per-dispatch timing is meaningless over remote-tunnel backends (axon).
 
-Run: `python benchmarks/breakdown.py [batch] [img_size] [K]`.
+Run: `python benchmarks/breakdown.py [batch] [img_size] [K] [model]`
+(model: pix2pix | cyclegan; CycleGAN picks its batched/per-application
+forward structure from the batch size, as in training).
 """
 
 from __future__ import annotations
@@ -49,10 +51,81 @@ def scan_time(fn, init_carry, k: int):
     return (time.perf_counter() - t0) / k
 
 
+def main_cyclegan(batch: int, img: int, k: int):
+    """CycleGAN variant: the 4-network fused step (6 G + 4 primal D
+    applications; forward structure dispatched on batch size —
+    cyclegan_trainer.BATCHED_PASS_MAX)."""
+    from gan_tpu.config import CycleGANConfig
+    from gan_tpu.train.cyclegan_trainer import CycleGANTrainer
+
+    cfg = CycleGANConfig(input_images="", target_images="", output="",
+                         img_size=img, batch_size=batch, train=True, epochs=1,
+                         dtype="bf16", num_devices=1)
+    cfg.validate()
+    t = CycleGANTrainer(cfg, mesh=make_mesh(1))
+    key = jax.random.PRNGKey(0)
+    dt = cfg.compute_dtype
+    x0 = jax.random.uniform(key, (batch, img, img, 1), dtype=dt, minval=-1, maxval=1)
+    y0 = jax.random.uniform(jax.random.fold_in(key, 1), (batch, img, img, 1),
+                            dtype=dt, minval=-1, maxval=1)
+    structure = ("batched" if batch <= t.BATCHED_PASS_MAX else "per-application")
+    results = {}
+
+    # NB: every network application must take an iteration-dependent input
+    # (x0 + c AND y0 + c, key folded per step) or XLA constant-folds the
+    # passes that depend only on closed-over constants — e.g. F(y), G(y),
+    # D(y) here — out of the measured scan entirely.
+    def gfwd(c, i):
+        out = t.gen.apply(t.params["gen_g"], c, rng=key, compute_dtype=dt)
+        return out.astype(dt)
+    results["gen_fwd_x1"] = scan_time(gfwd, x0, k)
+
+    def lfwd(c, i):
+        combined, _ = t._losses(t.params, x0 + c, y0 + c,
+                                jax.random.fold_in(key, i))
+        return c + combined.astype(dt) * 1e-9
+    results["losses_fwd"] = scan_time(lfwd, jnp.zeros((), dt), k)
+
+    def gstep(c, i):
+        grads, _ = jax.grad(t._losses, has_aux=True)(
+            t.params, x0 + c, y0 + c, jax.random.fold_in(key, i))
+        s = sum(jnp.sum(l.astype(jnp.float32))
+                for l in jax.tree_util.tree_leaves(grads))
+        return c + (s * 1e-20).astype(dt)
+    results["grads_fwdbwd"] = scan_time(gstep, jnp.zeros((), dt), k)
+
+    gfix = jax.tree_util.tree_map(jnp.ones_like, t.params)
+
+    def aonly(carry, i):
+        params, opt = carry
+        new_p, new_o = {}, {}
+        for name in params:
+            up, st = t.tx.update(gfix[name], opt[name], params[name])
+            new_p[name] = jax.tree_util.tree_map(lambda p, u: p + u,
+                                                 params[name], up)
+            new_o[name] = st
+        return (new_p, new_o)
+    results["adam_only"] = scan_time(aonly, (t.params, t.opt_states), k)
+
+    def step(carry, i):
+        params, opt = carry
+        params, opt, _ = t._train_step(params, opt, (x0, y0),
+                                       jax.random.fold_in(key, i))
+        return (params, opt)
+    results["train_step"] = scan_time(step, (t.params, t.opt_states), max(4, k // 4))
+
+    print(f"cyclegan batch={batch} img={img} dtype=bf16 "
+          f"forward-structure={structure} (per-iteration device time)")
+    for name, v in results.items():
+        print(f"  {name:12s} {v * 1e3:8.2f} ms   {batch / v:9.1f} pairs/s")
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     img = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    if len(sys.argv) > 4 and sys.argv[4] == "cyclegan":
+        return main_cyclegan(batch, img, k)
     cfg = Pix2PixConfig(data="", output="", img_size=img, batch_size=batch,
                         train=True, epochs=1, dtype="bf16", num_devices=1)
     cfg.validate()
