@@ -71,36 +71,43 @@ def main_cyclegan(batch: int, img: int, k: int):
     structure = ("batched" if batch <= t.BATCHED_PASS_MAX else "per-application")
     results = {}
 
-    # NB: every network application must take an iteration-dependent input
+    # NB 1: every network application must take an iteration-dependent input
     # (x0 + c AND y0 + c, key folded per step) or XLA constant-folds the
     # passes that depend only on closed-over constants — e.g. F(y), G(y),
     # D(y) here — out of the measured scan entirely.
-    def gfwd(c, i):
-        out = t.gen.apply(t.params["gen_g"], c, rng=key, compute_dtype=dt)
-        return out.astype(dt)
-    results["gen_fwd_x1"] = scan_time(gfwd, x0, k)
+    # NB 2: params ride the scan CARRY, never a closure — closed-over arrays
+    # are serialized as constants INTO the compile request, and CycleGAN's
+    # four networks (~450 MB fp32) overflow the axon remote-compile body
+    # limit (HTTP 413). Carried arguments are device buffers instead.
+    def gfwd(carry, i):
+        gp, c = carry
+        out = t.gen.apply(gp, c, rng=key, compute_dtype=dt)
+        return (gp, out.astype(dt))
+    results["gen_fwd_x1"] = scan_time(gfwd, (t.params["gen_g"], x0), k)
 
-    def lfwd(c, i):
-        combined, _ = t._losses(t.params, x0 + c, y0 + c,
+    def lfwd(carry, i):
+        params, c = carry
+        combined, _ = t._losses(params, x0 + c, y0 + c,
                                 jax.random.fold_in(key, i))
-        return c + combined.astype(dt) * 1e-9
-    results["losses_fwd"] = scan_time(lfwd, jnp.zeros((), dt), k)
+        return (params, c + combined.astype(dt) * 1e-9)
+    results["losses_fwd"] = scan_time(lfwd, (t.params, jnp.zeros((), dt)), k)
 
-    def gstep(c, i):
+    def gstep(carry, i):
+        params, c = carry
         grads, _ = jax.grad(t._losses, has_aux=True)(
-            t.params, x0 + c, y0 + c, jax.random.fold_in(key, i))
+            params, x0 + c, y0 + c, jax.random.fold_in(key, i))
         s = sum(jnp.sum(l.astype(jnp.float32))
                 for l in jax.tree_util.tree_leaves(grads))
-        return c + (s * 1e-20).astype(dt)
-    results["grads_fwdbwd"] = scan_time(gstep, jnp.zeros((), dt), k)
-
-    gfix = jax.tree_util.tree_map(jnp.ones_like, t.params)
+        return (params, c + (s * 1e-20).astype(dt))
+    results["grads_fwdbwd"] = scan_time(gstep, (t.params, jnp.zeros((), dt)), k)
 
     def aonly(carry, i):
         params, opt = carry
+        # unit gradients, built in-program from carried shapes (no constants)
         new_p, new_o = {}, {}
         for name in params:
-            up, st = t.tx.update(gfix[name], opt[name], params[name])
+            gfix = jax.tree_util.tree_map(jnp.ones_like, params[name])
+            up, st = t.tx.update(gfix, opt[name], params[name])
             new_p[name] = jax.tree_util.tree_map(lambda p, u: p + u,
                                                  params[name], up)
             new_o[name] = st

@@ -108,12 +108,13 @@ class CycleGANTrainer:
     def _losses_batched(self, params, x, y, key):
         """The reference's six generator forwards per step
         (cycle_gan.py:220-234) run as THREE batched U-Net passes — G([x, y]),
-        F([fake_y, y, x]), G([fake_x]) — same FLOPs, far better MXU
-        utilization at small batch (the reference trains at batch 4). Exact
-        because every norm here is instance norm (per-sample); dropout masks
-        stay independent per sample inside a batched pass. One dropout key
-        per pass, shared across the sg views so duplicated forwards CSE to
-        one computation."""
+        F([fake_y, y, x]), G([fake_x]) — and its four discriminator
+        applications (cycle_gan.py:236-239) as TWO 2B-wide passes
+        (``_disc_pass``): same FLOPs, far better MXU utilization at small
+        batch (the reference trains at batch 4). Exact because every norm
+        here is instance norm (per-sample); dropout masks stay independent
+        per sample inside a batched pass. One dropout key per pass, shared
+        across the sg views so duplicated forwards CSE to one computation."""
         cfg = self.config
         dt = cfg.compute_dtype
         lam = float(cfg.lam)
@@ -129,9 +130,6 @@ class CycleGANTrainer:
                 lo += im.shape[0]
             return parts
 
-        def D(p, img):
-            return self.disc.apply(p, img, compute_dtype=dt)
-
         gp, fp = params["gen_g"], params["gen_f"]
         dxp, dyp = params["disc_x"], params["disc_y"]
 
@@ -139,26 +137,53 @@ class CycleGANTrainer:
         fake_y_g, same_y_g = G(gp, (x, y), k1)
         cycled_x_g, fake_x_g, _ = G(sg_tree(fp), (fake_y_g, y, x), k2)
         (cycled_y_g,) = G(gp, (fake_x_g,), k3)
-        adv_g = generator_adversarial_loss(D(sg_tree(dyp), fake_y_g))
         total_cycle_g = cycle_loss(x, cycled_x_g, lam) + cycle_loss(y, cycled_y_g, lam)
-        total_g = adv_g + total_cycle_g + identity_loss(y, same_y_g, lam)
 
         # --- generator-f view (live: fp) --------------------------------
         fake_y_f, _ = G(sg_tree(gp), (x, y), k1)
         cycled_x_f, fake_x_f, same_x_f = G(fp, (fake_y_f, y, x), k2)
         (cycled_y_f,) = G(sg_tree(gp), (fake_x_f,), k3)
-        adv_f = generator_adversarial_loss(D(sg_tree(dxp), fake_x_f))
         total_cycle_f = cycle_loss(x, cycled_x_f, lam) + cycle_loss(y, cycled_y_f, lam)
-        total_f = adv_f + total_cycle_f + identity_loss(x, same_x_f, lam)
 
-        # --- discriminator views (live: dxp / dyp; fakes stopped) -------
-        disc_x = discriminator_loss(D(dxp, x), D(dxp, jax.lax.stop_gradient(fake_x_f)), 0.5)
-        disc_y = discriminator_loss(D(dyp, y), D(dyp, jax.lax.stop_gradient(fake_y_g)), 0.5)
+        # --- discriminator passes (real+fake batched, both sg views) ----
+        dx_real, dx_fake, dx_fake_adv = self._disc_pass(dxp, x, fake_x_f, dt)
+        dy_real, dy_fake, dy_fake_adv = self._disc_pass(dyp, y, fake_y_g, dt)
+
+        adv_g = generator_adversarial_loss(dy_fake_adv)
+        total_g = adv_g + total_cycle_g + identity_loss(y, same_y_g, lam)
+        adv_f = generator_adversarial_loss(dx_fake_adv)
+        total_f = adv_f + total_cycle_f + identity_loss(x, same_x_f, lam)
+        disc_x = discriminator_loss(dx_real, dx_fake, 0.5)
+        disc_y = discriminator_loss(dy_real, dy_fake, 0.5)
 
         combined = total_g + total_f + disc_x + disc_y
         losses = jnp.stack([adv_g, adv_f, total_cycle_g, total_g, total_f,
                             disc_x, disc_y])
         return combined, losses
+
+    def _disc_pass(self, dp, real, fake, dt):
+        """One 2B-wide discriminator pass serving both gradient views.
+
+        The reference applies each discriminator twice per step — to the
+        real batch and to the generated batch (cycle_gan.py:236-239).  Both
+        applications run here as ONE concatenated pass (exact: the CycleGAN
+        discriminator is instance-norm, per-sample — base_gan.py:134 with
+        norm_type='instancenorm'); real/fake widths may differ at the zip
+        tail.  Two sg views keep the gradient partition of the fused
+        backward: the disc-live view stops the fake (the reference tapes
+        disc losses with generators outside, cycle_gan.py:256-262), the
+        gen-live view stops the discriminator params (adversarial loss
+        reaches the generator THROUGH a frozen D).  The two views share an
+        identical primal, so XLA CSEs them into a single computation."""
+        b = real.shape[0]
+        live_d = self.disc.apply(
+            dp, jnp.concatenate([real, jax.lax.stop_gradient(fake)], axis=0),
+            compute_dtype=dt)
+        live_g = self.disc.apply(
+            sg_tree(dp),
+            jnp.concatenate([jax.lax.stop_gradient(real), fake], axis=0),
+            compute_dtype=dt)
+        return live_d[:b], live_d[b:], live_g[b:]
 
     def _losses_unbatched(self, params, x, y, key):
         """Per-application forwards (one dropout key per logical generator

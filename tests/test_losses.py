@@ -122,27 +122,34 @@ def test_cyclegan_fused_backward_matches_per_tape():
         (cycled_y,) = G(gp, (fake_x,), k3)
         return fake_y, cycled_x, fake_x, cycled_y, same_x, same_y
 
-    D = lambda p, i: t.disc.apply(p, i, compute_dtype=jnp.float32)
+    # the trainer runs each discriminator's real+fake applications as ONE
+    # concatenated pass (_disc_pass); the oracle mirrors that exactly so
+    # forward arithmetic is bit-identical and only the gradient
+    # partitioning (fused single backward vs four per-loss tapes) differs
+    def D2(p, real, fake):
+        out = t.disc.apply(p, jnp.concatenate([real, fake], axis=0),
+                           compute_dtype=jnp.float32)
+        return out[: real.shape[0]], out[real.shape[0]:]
 
     def total_gen_g(gp):
         fake_y, cycled_x, fake_x, cycled_y, _, same_y = forwards(gp, P["gen_f"])
-        adv = L.generator_adversarial_loss(D(P["disc_y"], fake_y))
+        adv = L.generator_adversarial_loss(D2(P["disc_y"], y, fake_y)[1])
         cyc = L.cycle_loss(x, cycled_x, lam) + L.cycle_loss(y, cycled_y, lam)
         return adv + cyc + L.identity_loss(y, same_y, lam)
 
     def total_gen_f(fp):
         fake_y, cycled_x, fake_x, cycled_y, same_x, _ = forwards(P["gen_g"], fp)
-        adv = L.generator_adversarial_loss(D(P["disc_x"], fake_x))
+        adv = L.generator_adversarial_loss(D2(P["disc_x"], x, fake_x)[1])
         cyc = L.cycle_loss(x, cycled_x, lam) + L.cycle_loss(y, cycled_y, lam)
         return adv + cyc + L.identity_loss(x, same_x, lam)
 
     def disc_x_loss(dxp):
         _, _, fake_x, _, _, _ = forwards(P["gen_g"], P["gen_f"])
-        return L.discriminator_loss(D(dxp, x), D(dxp, fake_x), 0.5)
+        return L.discriminator_loss(*D2(dxp, x, fake_x), 0.5)
 
     def disc_y_loss(dyp):
         fake_y = forwards(P["gen_g"], P["gen_f"])[0]
-        return L.discriminator_loss(D(dyp, y), D(dyp, fake_y), 0.5)
+        return L.discriminator_loss(*D2(dyp, y, fake_y), 0.5)
 
     refs = {"gen_g": jax.grad(total_gen_g)(P["gen_g"]),
             "gen_f": jax.grad(total_gen_f)(P["gen_f"]),
