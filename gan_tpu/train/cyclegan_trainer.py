@@ -87,7 +87,11 @@ class CycleGANTrainer:
 
     # measured crossover on v5e 256²: batched passes give +47% at batch 4
     # (135 vs 92 pairs/s) but −3% at batch 32 (289 vs 299) — convs saturate
-    # and the concat/split bookkeeping stops paying
+    # and the concat/split bookkeeping stops paying. The same holds for the
+    # discriminator's real+fake concat (_disc_pass): 6.49 → 3.50 ms/step at
+    # batch 4, but 18.87 vs 19.94 ms at batch 32 where the 4-application
+    # form wins ~5% (benchmarks/results/stacked_pass_study.json) — so D
+    # batching ships only inside the ≤16 structure too.
     BATCHED_PASS_MAX = 16
 
     # per-step cost model for epoch segmentation (loop.seg_max_steps):
