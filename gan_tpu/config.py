@@ -86,7 +86,13 @@ class BaseConfig:
         return jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
 
     def to_json(self) -> str:
-        return json.dumps(dataclasses.asdict(self))
+        # The reference dumps ``vars(opt)`` whose argparse dest for --lambda
+        # is "lambda" (pix2pix.py:406-407, flag at :361) — serialize our
+        # ``lam`` field under that key so downstream consumers of the
+        # reference's config.json keep working; TPU extension keys ride along.
+        d = dataclasses.asdict(self)
+        return json.dumps({("lambda" if k == "lam" else k): v
+                           for k, v in d.items()})
 
     def dump(self, path: str) -> None:
         with open(path, "w") as f:

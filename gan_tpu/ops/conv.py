@@ -50,23 +50,21 @@ def _down_impl() -> str:
     """GAN_TPU_DOWN: 'std' | 's2d' | 'auto' — stem-conv lowering selector.
 
     's2d' rewrites the k=4 s=2 downsample conv as space-to-depth + one 2×2
-    stride-1 conv (``conv2d_down_s2d``). The candidate win is the C_in∈{1,2}
+    stride-1 conv (``conv2d_down_s2d``). The candidate win was the C_in∈{1,2}
     STEM convs (G reads grayscale, D reads a 2-channel concat): a 1-channel
     NHWC activation pads its lane dim heavily in the tiled layout, so the
     stem is bandwidth-bound on padding; space-to-depth packs 4 real channels
-    per pixel before the conv. 'auto' dispatches s2d for C_in < 4 with even
-    H, W only if it measures faster on the target (benchmarks/stem_bench.py)
-    — default 'std' until the chip-measured policy lands here."""
+    per pixel before the conv. Measured on the v5e chip it LOSES 2.9% e2e
+    (benchmarks/results/stem_study.json), so 'auto' resolves to the measured
+    winner 'std'; 's2d' remains available to force the rewrite for study."""
     import os
     return os.environ.get("GAN_TPU_DOWN", "std")
 
 
 def conv2d_down(x, w, *, compute_dtype=None):
     """Stride-2 'same' conv — the U-Net / PatchGAN downsample conv (base_gan.py:78)."""
-    impl = _down_impl()
-    if (w.shape[0] == 4 and w.shape[1] == 4
-            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-            and (impl == "s2d" or (impl == "auto" and w.shape[2] < 4))):
+    if (_down_impl() == "s2d" and w.shape[0] == 4 and w.shape[1] == 4
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         return conv2d_down_s2d(x, w, compute_dtype=compute_dtype)
     return conv2d_same(x, w, 2, compute_dtype=compute_dtype)
 

@@ -73,6 +73,7 @@ class CycleGANTrainer:
         self._stream_fns: dict = {}
         self._sample_fn = None
         self._batch_fn = None
+        self._sample_calls = 0   # fresh dropout key per generate() call
         # remainder step: prep + step in one replicated program (any mesh size)
         self._rem_train = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, True))
         self._rem_eval = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, False))
@@ -702,11 +703,18 @@ class CycleGANTrainer:
         return train_cost, val_cost
 
     def generate(self, input_batch: np.ndarray) -> np.ndarray:
-        """generator_g(x) with training-mode semantics (cycle_gan.py:186)."""
+        """generator_g(x) with training-mode semantics (cycle_gan.py:186).
+
+        Per-call counter folded into the key so successive samples vary as
+        the reference's unseeded dropout does (deterministic from --seed);
+        counter starts at 0 → keys match generate_batched's index-derived
+        ones for a serial loop."""
         if self._sample_fn is None:
             self._sample_fn = jax.jit(lambda p, x, k: self.gen.apply(
                 p, x, rng=k, compute_dtype=self.config.compute_dtype))
-        key = jax.random.PRNGKey(self.config.seed + 2)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed + 2),
+                                 self._sample_calls)
+        self._sample_calls += 1
         out = self._sample_fn(self.params["gen_g"],
                               jnp.asarray(input_batch, self.config.compute_dtype), key)
         return np.asarray(out, np.float32)

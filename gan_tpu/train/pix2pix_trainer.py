@@ -136,6 +136,7 @@ class Pix2PixTrainer:
         self._stream_fns: dict = {}
         self._sample_fn = None
         self._batch_fn = None
+        self._sample_calls = 0   # fresh dropout key per generate() call
         # persistent jit wrappers for the per-epoch remainder batch (prep +
         # step in one program, replicated over the mesh — runs at any size).
         # These retrace per distinct tail SHAPE — deliberate: a run sees one
@@ -560,11 +561,20 @@ class Pix2PixTrainer:
                         channels=self.config.channels)
 
     def generate(self, input_batch: np.ndarray) -> np.ndarray:
-        """G(x) with training-mode semantics; returns fp32 in [-1, 1]."""
+        """G(x) with training-mode semantics; returns fp32 in [-1, 1].
+
+        The reference draws fresh (unseeded) dropout randomness per call
+        (pix2pix.py:228); we fold a per-call counter into the seeded key so
+        successive samples (e.g. test_images/epoch_N.png) vary like the
+        reference's do while staying deterministic from --seed. Counter
+        starts at 0, so a serial loop of generate() calls uses the same
+        index-derived keys as generate_batched."""
         if self._sample_fn is None:
             self._sample_fn = jax.jit(lambda p, x, k: self.gen.apply(
                 p, x, rng=k, compute_dtype=self.config.compute_dtype))
-        key = jax.random.PRNGKey(self.config.seed + 2)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed + 2),
+                                 self._sample_calls)
+        self._sample_calls += 1
         out = self._sample_fn(self.params["gen"],
                               jnp.asarray(input_batch, self.config.compute_dtype), key)
         return np.asarray(out, np.float32)

@@ -44,6 +44,18 @@ def test_pix2pix_train_then_predict(tmp_path):
     run = sorted(glob.glob(out + "/*"))[0]
     # output contract (SURVEY §2.8)
     assert os.path.exists(f"{run}/logs/config.json")
+    import json
+    with open(f"{run}/logs/config.json") as f:
+        cfg_json = json.load(f)
+    # reference serializes vars(opt): key is "lambda", not "lam"
+    # (/root/reference/pix2pix.py:361,406-407)
+    assert "lambda" in cfg_json and "lam" not in cfg_json
+    ref_keys = {"data", "output", "img_size", "batch_size", "buffer_size",
+                "channels", "logging", "generator_loss", "input_img_orient",
+                "seed", "train", "predict", "save_weights", "epochs",
+                "lambda", "validation_size", "test_img", "learning_rate",
+                "beta_1", "beta_2", "weights"}
+    assert ref_keys <= set(cfg_json)
     assert os.path.exists(f"{run}/logs/train_metrics.json")
     assert os.path.exists(f"{run}/logs/val_metrics.json")
     assert os.path.exists(f"{run}/test_images/epoch_5.png")  # 5-epoch cadence
