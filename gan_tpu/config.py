@@ -56,6 +56,8 @@ class BaseConfig:
     remat: str = "auto"              # auto | on | off — jax.checkpoint U-Net blocks
     host_cache: str = "auto"         # auto | on | off — decode corpus into host RAM
                                      # (off/too-big: stream batches from files)
+    checkpoint_every: int = 0        # extra save cadence for fault recovery
+                                     # (0 = reference 5-epoch cadence only)
 
     def validate(self) -> None:
         """Reference asserts (pix2pix.py:373-375, cycle_gan.py:410-412).
@@ -181,6 +183,10 @@ def _add_common(parser: argparse.ArgumentParser, argv) -> None:
                         help="decode the whole corpus into host RAM up front; "
                              "off (or auto when it would not fit) streams "
                              "batches from files via background decode threads")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save a checkpoint every N epochs in addition to "
+                             "the reference's 5-epoch cadence, bounding fault "
+                             "loss to <=N epochs (0 = off)")
 
 
 def parse_pix2pix(argv=None) -> Pix2PixConfig:

@@ -498,7 +498,18 @@ class Pix2PixTrainer:
         perf = Throughput(self.mesh.size)
         report_perf = os.environ.get("GAN_TPU_PERF") == "1"
 
-        for epoch in range(start_epoch, cfg.epochs):
+        # fault fence (SURVEY §5.3 — recovery.py): anchor a rewind target
+        # before the first epoch so a fault before the first periodic save
+        # is still recoverable in-process
+        from gan_tpu.train.recovery import FaultFence
+        fence = FaultFence(self, checkpoint_manager)
+        if (checkpoint_manager is not None
+                and checkpoint_manager.latest_epoch() is None):
+            checkpoint_manager.save(start_epoch, self.state())
+
+        epoch = start_epoch
+        while epoch < cfg.epochs:
+          try:
             ek = jax.random.fold_in(base_key, epoch)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
@@ -541,6 +552,12 @@ class Pix2PixTrainer:
                                     os.path.join(test_img_path, f"epoch_{epoch + 1}.png"))
             if (epoch + 1) == cfg.epochs and checkpoint_manager is not None:
                 checkpoint_manager.save(epoch + 1, self.state())
+            # --checkpoint-every N (recovery extension): extra saves between
+            # the reference's 5-epoch cadence bound fault loss to ≤N epochs
+            if (cfg.checkpoint_every and checkpoint_manager is not None
+                    and (epoch + 1) % cfg.checkpoint_every == 0
+                    and checkpoint_manager.latest_epoch() != epoch + 1):
+                checkpoint_manager.save(epoch + 1, self.state())
 
             print(f"\nCumulative training duration at end of epoch {epoch + 1}: "
                   f"{(time.time() - start) / 60:.2f} min")
@@ -548,6 +565,14 @@ class Pix2PixTrainer:
                   f"train discriminator loss: {round(train_cost_functions['Discriminator Loss'][-1], 2)}")
             print(f"Val generator loss: {round(val_cost_functions['Generator Total Loss'][-1], 2)}, "
                   f"val discriminator loss: {round(val_cost_functions['Discriminator Loss'][-1], 2)}\n")
+          except Exception as e:
+            epoch = fence.recover(epoch, e)   # rewound epoch, or raises
+            # deterministic re-run reproduces the truncated epochs exactly
+            for d in (train_cost_functions, val_cost_functions):
+                for k in d:
+                    del d[k][max(epoch - start_epoch, 0):]
+            continue
+          epoch += 1
 
         return train_cost_functions, val_cost_functions
 

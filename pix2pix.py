@@ -88,9 +88,18 @@ def main(cfg: Pix2PixConfig) -> None:
             trainer.load_state(src.restore(trainer.state()))
             print(f"Resumed from {cfg.resume} at epoch {start_epoch}", flush=True)
 
-        train_metrics, val_metrics = trainer.fit(
-            train_cache, val_cache, test_cache, dirs.root,
-            checkpoint_manager=manager, start_epoch=start_epoch)
+        from gan_tpu.train.recovery import TrainingFault
+        try:
+            train_metrics, val_metrics = trainer.fit(
+                train_cache, val_cache, test_cache, dirs.root,
+                checkpoint_manager=manager, start_epoch=start_epoch)
+        except TrainingFault as tf:
+            # in-process rewind exhausted/impossible (recovery.py) — leave a
+            # resume-ready directory and a nonzero exit for the supervisor
+            print(f"\n{tf}", flush=True)
+            print(f"Resume with the original flags plus: --resume {dirs.root}",
+                  flush=True)
+            raise SystemExit(17)
 
         # final test images (ref pix2pix.py:428-434)
         os.makedirs(dirs.final_test_imgs, exist_ok=True)
