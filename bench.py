@@ -55,8 +55,13 @@ def _flush_results() -> None:
 
 
 def _probe_tunnel_mb_s(dev) -> float:
-    """h2d bandwidth estimate from one 16 MB put (includes per-put latency,
-    so it underestimates slightly — fine: it only gates cache shrinking)."""
+    """h2d bandwidth estimate from one 16 MB put. The FIRST transfer of an
+    axon session pays ~minutes of one-off warmup (measured 140 s for 16 MB
+    on 2026-08-20, subsequent puts 30 MB/s), so a small untimed wakeup put
+    absorbs that before the measurement."""
+    t0 = time.perf_counter()
+    hard_sync(jax.device_put(np.zeros((1 << 20,), np.uint8), dev))
+    heartbeat(f"tunnel wakeup put: {time.perf_counter() - t0:.1f}s")
     buf = np.zeros((16 << 20,), np.uint8)
     t0 = time.perf_counter()
     hard_sync(jax.device_put(buf, dev))
@@ -85,7 +90,7 @@ def bench_pix2pix(mesh, n_dev: int) -> tuple[float, float]:
             steps = 8
         elif bw < 50:
             steps = 16
-    heartbeat(f"h2d ≈ {bw:.0f} MB/s → steps={steps}")
+    heartbeat(f"h2d ≈ {bw:.1f} MB/s → steps={steps}")
     n_imgs = batch * steps
 
     set_phase("trainer-init")
