@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Trained-model parity: the ACTUAL TF reference vs gan_tpu, full training
+runs on the same corpus (VERDICT r3 #5 — upgrades the 3-step golden test to
+whole training TRAJECTORIES).
+
+Both sides train Pix2Pix 256² for N epochs on an identical synthetic corpus
+(smooth seeded patterns, target = inverted input — a learnable mapping), with
+the same seed (byte-identical splits — tested invariant), dropout zeroed on
+BOTH sides (the one cross-framework-unmatchable stream), fp32. What CANNOT
+match bit-wise: weight init draws and augmentation randomness come from each
+framework's own RNG — so trajectories are compared statistically (per-epoch
+deltas), not bit-wise. Writes benchmarks/results/tf_parity_curves.json with
+both curves, per-epoch relative deltas, and L1/SSIM/PSNR of each trained
+model's test-set predictions vs ground truth.
+
+Usage: python benchmarks/tf_parity.py [n_pairs] [epochs] [batch]
+Runs on CPU (TF has no TPU here; hours-scale on 1 core — run in background,
+no TPU process conflict). Reference loaded from $GAN_REFERENCE_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("GAN_TPU_PLATFORM", "cpu")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+REF = os.environ.get("GAN_REFERENCE_DIR", "/root/reference")
+OUT_JSON = os.path.join(os.path.dirname(__file__), "results",
+                        "tf_parity_curves.json")
+
+
+def make_corpus(d: str, n: int, seed: int = 0) -> None:
+    """Concatenated 256x512 grayscale pairs; right half = 255 - smooth(left).
+    Smooth per-image sinusoid mixtures so the mapping is learnable quickly
+    and loss curves are informative."""
+    from PIL import Image
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    for i in range(n):
+        img = np.zeros((256, 256), np.float32)
+        for _ in range(3):
+            fx, fy = rng.uniform(0.5, 3.0, 2)
+            px, py = rng.uniform(0, 2 * np.pi, 2)
+            img += np.sin(xx / 256 * 2 * np.pi * fx + px) * \
+                np.cos(yy / 256 * 2 * np.pi * fy + py)
+        img = ((img - img.min()) / (np.ptp(img) + 1e-9) * 255).astype(np.uint8)
+        pair = np.concatenate([img, 255 - img], axis=1)
+        Image.fromarray(pair, "L").save(os.path.join(d, f"img_{i}.png"))
+
+
+def _config(data: str, out: str, epochs: int, batch: int) -> dict:
+    return {"data": data, "output": out, "img_size": 256, "batch_size": batch,
+            "buffer_size": 99999, "channels": "1", "logging": "false",
+            "generator_loss": "l1", "input_img_orient": "left", "seed": 123,
+            "train": True, "predict": False, "save_weights": "false",
+            "epochs": epochs, "lambda": 100, "validation_size": 0.1,
+            "test_img": 5, "learning_rate": 2e-4, "beta_1": 0.5,
+            "beta_2": 0.999, "weights": None}
+
+
+def run_tf(data: str, epochs: int, batch: int, workdir: str):
+    """Train the actual reference (dropout zeroed); returns (train, val,
+    test_preds, test_pairs)."""
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    from tools.import_tf_checkpoint import load_reference_modules
+    ref = load_reference_modules(REF)
+
+    tf.keras.utils.set_random_seed(0)
+    model = ref["ref_pix2pix"].Pix2Pix(_config(data, workdir, epochs, batch))
+    for layer in model.generator.layers:
+        if isinstance(layer, tf.keras.Sequential):
+            for sub in layer.layers:
+                if isinstance(sub, tf.keras.layers.Dropout):
+                    sub.rate = 0.0
+
+    train_ds, val_ds, test_ds = model.image_pipeline(predict=False)
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+    train_cost, val_cost = model.fit(train_ds, val_ds, test_ds, workdir, None)
+    print(f"[tf_parity] TF run done in {(time.time() - t0) / 60:.1f} min",
+          flush=True)
+
+    preds, pairs = [], []
+    for inp, tgt in test_ds:  # unbatched predict-mode pairs
+        pred = model.generator(tf.expand_dims(inp, 0), training=True)
+        preds.append(np.asarray(pred)[0])
+        pairs.append((np.asarray(inp), np.asarray(tgt)))
+    return train_cost, val_cost, preds, pairs
+
+
+def run_jax(data: str, epochs: int, batch: int, workdir: str):
+    """Train gan_tpu on the same corpus/seed (dropout zeroed); mirrors the
+    CLI main()'s train path (pix2pix.py:72-101)."""
+    import gan_tpu.models.blocks as blocks
+    blocks.DROP_RATE = 0.0
+    from gan_tpu.config import Pix2PixConfig
+    from gan_tpu.data.augment import normalize_batch
+    from gan_tpu.data.pipeline import build_pix2pix_cache
+    from gan_tpu.data.split import list_images, pix2pix_split
+    from gan_tpu.train.pix2pix_trainer import Pix2PixTrainer
+
+    c = _config(data, workdir, epochs, batch)
+    c.pop("lambda")
+    cfg = Pix2PixConfig(**c, lam=100, dtype="fp32", num_devices=1)
+    cfg.validate()
+    trainer = Pix2PixTrainer(cfg)
+
+    contents = list_images(data)
+    tr, va, te = pix2pix_split(contents, seed=cfg.seed, test_img=cfg.test_img,
+                               validation_size=cfg.validation_size)
+
+    def cache(names, train):
+        return build_pix2pix_cache([os.path.join(data, x) for x in names],
+                                   img_size=256, channels=1, orient="left",
+                                   train=train)
+
+    train_cache, val_cache, test_cache = (cache(tr, True), cache(va, False),
+                                          cache(te, False))
+    os.makedirs(workdir, exist_ok=True)
+    t0 = time.time()
+    train_cost, val_cost = trainer.fit(train_cache, val_cache, test_cache,
+                                       workdir, None)
+    print(f"[tf_parity] JAX run done in {(time.time() - t0) / 60:.1f} min",
+          flush=True)
+
+    test_norm = np.asarray(normalize_batch(test_cache.astype(np.float32)))
+    preds = [np.asarray(trainer.generate(test_norm[i:i + 1, 0]))[0]
+             for i in range(test_norm.shape[0])]
+    pairs = [(test_norm[i, 0], test_norm[i, 1])
+             for i in range(test_norm.shape[0])]
+    return train_cost, val_cost, preds, pairs
+
+
+def quality(preds, pairs) -> dict:
+    """L1 / PSNR / SSIM of predictions vs ground truth (both in [-1, 1])."""
+    from gan_tpu.ops.ssim import ssim as ssim_fn
+    l1s, psnrs, ssims = [], [], []
+    for pred, (_, tgt) in zip(preds, pairs):
+        p = np.asarray(pred, np.float32).reshape(256, 256, 1)
+        t = np.asarray(tgt, np.float32).reshape(256, 256, 1)
+        l1s.append(float(np.mean(np.abs(p - t))))
+        mse = float(np.mean((p - t) ** 2))
+        psnrs.append(10 * np.log10(4.0 / max(mse, 1e-12)))
+        ssims.append(float(np.asarray(ssim_fn(p[None], t[None],
+                                              max_val=2.0))))
+    return {"l1": round(float(np.mean(l1s)), 4),
+            "psnr_db": round(float(np.mean(psnrs)), 2),
+            "ssim": round(float(np.mean(ssims)), 4)}
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    base = tempfile.mkdtemp(prefix="tf_parity_")
+    data = os.path.join(base, "data")
+    print(f"[tf_parity] corpus: {n} pairs in {data}", flush=True)
+    make_corpus(data, n, seed=0)
+
+    tf_train, tf_val, tf_preds, tf_pairs = run_tf(
+        data, epochs, batch, os.path.join(base, "tf"))
+    jx_train, jx_val, jx_preds, jx_pairs = run_jax(
+        data, epochs, batch, os.path.join(base, "jax"))
+
+    def deltas(a, b):
+        return [round((x - y) / (abs(y) + 1e-9), 4) for x, y in zip(a, b)]
+
+    keys = list(tf_train.keys())
+    result = {
+        "description": "Full-training-trajectory parity vs the ACTUAL TF "
+                       "reference (benchmarks/tf_parity.py): same corpus, "
+                       "same seed/split (byte-identical — tested), dropout "
+                       "zeroed both sides, fp32, CPU. Init draws and "
+                       "augmentation RNG are framework-local, so curves "
+                       "match statistically, not bit-wise.",
+        "config": {"n_pairs": n, "epochs": epochs, "batch": batch,
+                   "img_size": 256, "dtype": "fp32"},
+        "curves": {
+            "tf":  {"train": tf_train, "val": tf_val},
+            "jax": {"train": jx_train, "val": jx_val},
+        },
+        "rel_delta_per_epoch_jax_vs_tf": {
+            k: {"train": deltas(jx_train[k], tf_train[k]),
+                "val": deltas(jx_val[k], tf_val[k])} for k in keys},
+        "quality_test_set": {"tf": quality(tf_preds, tf_pairs),
+                             "jax": quality(jx_preds, jx_pairs)},
+    }
+    os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[tf_parity] wrote {OUT_JSON}", flush=True)
+    for k in ("Generator Total Loss", "Discriminator Loss"):
+        print(f"  {k}: tf_train={[round(v, 3) for v in tf_train[k]]}")
+        print(f"  {k}: jx_train={[round(v, 3) for v in jx_train[k]]}")
+
+
+if __name__ == "__main__":
+    main()

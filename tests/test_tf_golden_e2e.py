@@ -15,9 +15,6 @@ DROP_RATE = 0) — every other source of randomness is removed by fixing the
 inputs and transplanting weights.
 """
 
-import importlib.util
-import sys
-
 import numpy as np
 import pytest
 
@@ -28,6 +25,13 @@ import jax.numpy as jnp  # noqa: E402
 
 from gan_tpu.config import CycleGANConfig, Pix2PixConfig  # noqa: E402
 from gan_tpu.parallel.mesh import make_mesh  # noqa: E402
+# transplant/loader wiring lives in the import tool (single source of truth
+# — it is also the user-facing TF-checkpoint importer)
+from tools.import_tf_checkpoint import (  # noqa: E402
+    load_reference_modules,
+    transplant_discriminator as _transplant_discriminator,
+    transplant_generator as _transplant_generator,
+)
 
 tf.config.set_visible_devices([], "GPU")
 
@@ -39,20 +43,7 @@ STEPS = 3
 def ref():
     """Load the reference modules without polluting ``pix2pix`` (the repo's
     own CLI shares the module name)."""
-    sys.path.insert(0, REF)
-    try:
-        mods = {}
-        for name, fname in (("ref_pix2pix", "pix2pix.py"),
-                            ("ref_cycle_gan", "cycle_gan.py")):
-            spec = importlib.util.spec_from_file_location(name, f"{REF}/{fname}")
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            mods[name] = mod
-    finally:
-        sys.path.remove(REF)
-        for m in ("base_gan", "utils"):
-            sys.modules.pop(m, None)
-    return mods
+    return load_reference_modules(REF)
 
 
 def _zero_dropout(model):
@@ -61,57 +52,6 @@ def _zero_dropout(model):
             for sub in layer.layers:
                 if isinstance(sub, tf.keras.layers.Dropout):
                     sub.rate = 0.0
-
-
-def _norm_from_tf(layer, norm):
-    if norm == "batch":
-        return {"gamma": jnp.asarray(layer.gamma.numpy()),
-                "beta": jnp.asarray(layer.beta.numpy())}
-    return {"scale": jnp.asarray(layer.scale.numpy()),
-            "offset": jnp.asarray(layer.offset.numpy())}
-
-
-def _transplant_generator(tf_gen, norm):
-    """TF U-Net weights → gan_tpu UNetGenerator pytree (depth 8)."""
-    seqs = [l for l in tf_gen.layers if isinstance(l, tf.keras.Sequential)]
-    assert len(seqs) == 15, len(seqs)
-    params = {}
-    for i, s in enumerate(seqs[:8]):
-        p = {"conv": jnp.asarray(s.layers[0].kernel.numpy())}
-        if i != 0:
-            p["norm"] = _norm_from_tf(s.layers[1], norm)
-        params[f"down_{i}"] = p
-    for i, s in enumerate(seqs[8:]):
-        params[f"up_{i}"] = {"conv": jnp.asarray(s.layers[0].kernel.numpy()),
-                             "norm": _norm_from_tf(s.layers[1], norm)}
-    last = [l for l in tf_gen.layers
-            if isinstance(l, tf.keras.layers.Conv2DTranspose)][-1]
-    params["last"] = {"conv": jnp.asarray(last.kernel.numpy()),
-                      "bias": jnp.asarray(last.bias.numpy())}
-    return params
-
-
-def _transplant_discriminator(tf_disc, norm):
-    """TF PatchGAN weights → gan_tpu PatchGANDiscriminator pytree."""
-    seqs = [l for l in tf_disc.layers if isinstance(l, tf.keras.Sequential)]
-    assert len(seqs) == 3, len(seqs)
-    convs = [l for l in tf_disc.layers if isinstance(l, tf.keras.layers.Conv2D)]
-    assert len(convs) == 2, len(convs)
-    norm_layers = [l for l in tf_disc.layers
-                   if l.__class__.__name__ in ("BatchNormalization",
-                                               "InstanceNormalization")]
-    assert len(norm_layers) == 1
-    params = {}
-    for i, s in enumerate(seqs):
-        p = {"conv": jnp.asarray(s.layers[0].kernel.numpy())}
-        if i != 0:
-            p["norm"] = _norm_from_tf(s.layers[1], norm)
-        params[f"down_{i}"] = p
-    params["conv512"] = jnp.asarray(convs[0].kernel.numpy())
-    params["norm512"] = _norm_from_tf(norm_layers[0], norm)
-    params["last"] = {"conv": jnp.asarray(convs[1].kernel.numpy()),
-                      "bias": jnp.asarray(convs[1].bias.numpy())}
-    return params
 
 
 def test_pix2pix_train_steps_match_reference(ref, monkeypatch):
