@@ -27,8 +27,12 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("GAN_TPU_PLATFORM", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# CPU-only by design (TF has no TPU here; comparison needs matched devices).
+# Hard-set: the ambient shell presets JAX_PLATFORMS to the axon plugin, and
+# with PALLAS_AXON_POOL_IPS unset that backend cannot even initialize.
+os.environ["GAN_TPU_PLATFORM"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np
 
@@ -91,10 +95,11 @@ def run_tf(data: str, epochs: int, batch: int, workdir: str):
           flush=True)
 
     preds, pairs = [], []
-    for inp, tgt in test_ds:  # unbatched predict-mode pairs
-        pred = model.generator(tf.expand_dims(inp, 0), training=True)
-        preds.append(np.asarray(pred)[0])
-        pairs.append((np.asarray(inp), np.asarray(tgt)))
+    for binp, btgt in test_ds:  # batched (image_pipeline batches test too)
+        for i in range(binp.shape[0]):
+            pred = model.generator(binp[i:i + 1], training=True)
+            preds.append(np.asarray(pred)[0])
+            pairs.append((np.asarray(binp[i]), np.asarray(btgt[i])))
     return train_cost, val_cost, preds, pairs
 
 
@@ -152,7 +157,7 @@ def quality(preds, pairs) -> dict:
         mse = float(np.mean((p - t) ** 2))
         psnrs.append(10 * np.log10(4.0 / max(mse, 1e-12)))
         ssims.append(float(np.asarray(ssim_fn(p[None], t[None],
-                                              max_val=2.0))))
+                                              max_val=2.0)).mean()))
     return {"l1": round(float(np.mean(l1s)), 4),
             "psnr_db": round(float(np.mean(psnrs)), 2),
             "ssim": round(float(np.mean(ssims)), 4)}
