@@ -13,9 +13,11 @@ deltas), not bit-wise. Writes benchmarks/results/tf_parity_curves.json with
 both curves, per-epoch relative deltas, and L1/SSIM/PSNR of each trained
 model's test-set predictions vs ground truth.
 
-Usage: python benchmarks/tf_parity.py [n_pairs] [epochs] [batch]
-Runs on CPU (TF has no TPU here; hours-scale on 1 core — run in background,
-no TPU process conflict). Reference loaded from $GAN_REFERENCE_DIR.
+Usage: [TF_PARITY_JAX_TPU=1] python benchmarks/tf_parity.py [n_pairs] [epochs] [batch]
+TF runs on CPU (its only backend here). The gan_tpu side runs on CPU by
+default or on the TPU with TF_PARITY_JAX_TPU=1 (same trajectory — jax PRNG
+is platform-invariant — and minutes instead of hours; counts as THE TPU
+process while it runs). Reference loaded from $GAN_REFERENCE_DIR.
 """
 
 from __future__ import annotations
@@ -27,12 +29,18 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-# CPU-only by design (TF has no TPU here; comparison needs matched devices).
-# Hard-set: the ambient shell presets JAX_PLATFORMS to the axon plugin, and
-# with PALLAS_AXON_POOL_IPS unset that backend cannot even initialize.
-os.environ["GAN_TPU_PLATFORM"] = "cpu"
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# TF always runs on CPU (it has no TPU here). The gan_tpu side runs on CPU
+# too by default, or on the TPU with TF_PARITY_JAX_TPU=1 — jax PRNG streams
+# are platform-invariant, so the TPU run executes the same trajectory as a
+# CPU run up to summation-order noise, and finishes in minutes where
+# XLA:CPU's single-core convs take ~90 s/step (measured: the 200-pair
+# batch-4 CPU run projected 10+ hours vs TF-CPU's 34 min).
+if os.environ.get("TF_PARITY_JAX_TPU") != "1":
+    # Hard-set: the ambient shell presets JAX_PLATFORMS to the axon plugin,
+    # and with PALLAS_AXON_POOL_IPS unset that backend cannot initialize.
+    os.environ["GAN_TPU_PLATFORM"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np
 
@@ -186,11 +194,17 @@ def main():
         "description": "Full-training-trajectory parity vs the ACTUAL TF "
                        "reference (benchmarks/tf_parity.py): same corpus, "
                        "same seed/split (byte-identical — tested), dropout "
-                       "zeroed both sides, fp32, CPU. Init draws and "
+                       "zeroed both sides, fp32 both sides. TF runs on CPU "
+                       "(its only backend here); the gan_tpu device is in "
+                       "config.jax_device (jax PRNG is platform-invariant, "
+                       "so a TPU run executes the same trajectory as a CPU "
+                       "one up to summation-order noise). Init draws and "
                        "augmentation RNG are framework-local, so curves "
                        "match statistically, not bit-wise.",
         "config": {"n_pairs": n, "epochs": epochs, "batch": batch,
-                   "img_size": 256, "dtype": "fp32"},
+                   "img_size": 256, "dtype": "fp32",
+                   "jax_device": ("tpu" if os.environ.get("TF_PARITY_JAX_TPU")
+                                  == "1" else "cpu")},
         "curves": {
             "tf":  {"train": tf_train, "val": tf_val},
             "jax": {"train": jx_train, "val": jx_val},
