@@ -42,7 +42,7 @@ def hard_sync(tree) -> None:
 _T_START = time.time()
 _PHASES: list[tuple[str, float]] = []       # finished (name, seconds)
 _CURRENT = {"name": None, "t0": None}
-_RESULT_LINES: list[str] = []               # JSON lines, headline LAST
+_RESULT_LINES: list[tuple[bool, str]] = []  # (headline, JSON line); headline LAST
 
 
 def set_phase(name: str, extra: str = "") -> None:
@@ -77,8 +77,13 @@ def publish_result(obj_or_line, headline: bool = False) -> None:
     except Exception:
         metric = None
     if metric is not None:
+        def _metric(stored: str):
+            try:
+                return json.loads(stored).get("metric")
+            except Exception:
+                return None  # keep unparsable pre-encoded lines as-is
         _RESULT_LINES[:] = [e for e in _RESULT_LINES
-                            if json.loads(e[1]).get("metric") != metric]
+                            if _metric(e[1]) != metric]
     _RESULT_LINES.append((headline, line))
     _RESULT_LINES.sort(key=lambda e: e[0])  # stable: headline lines last
 

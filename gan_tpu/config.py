@@ -175,9 +175,11 @@ def _add_common(parser: argparse.ArgumentParser, argv) -> None:
                              "(prediction_images_raw/) for downstream pipelines")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "on", "off"],
-                        help="gradient-checkpoint U-Net blocks (memory vs ~2x "
-                             "speed; auto enables only for very large "
-                             "per-device batches at 512)")
+                        help="gradient-checkpoint U-Net blocks; auto follows "
+                             "the measured frontier: on for 512+ images at "
+                             "per-device batch <=8 (remat measured FASTER "
+                             "there) and for activation footprints beyond "
+                             "the no-remat HBM ceiling, off otherwise")
     parser.add_argument("--host-cache", type=str, default="auto",
                         choices=["auto", "on", "off"],
                         help="decode the whole corpus into host RAM up front; "

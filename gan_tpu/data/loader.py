@@ -424,6 +424,22 @@ def prefetched_put_stream(assemble_it, put_one, *, depth: int = 2,
     return prefetch_iter(pipelined_map(inner, put_one), depth=depth)
 
 
+def val_stream_depth(n_rows: int, batch_size: int, row_bytes: int) -> int:
+    """Device-side prefetch depth for a PRE-STARTED streamed-val epoch
+    (trainers start the val producer before dispatching the train epoch, so
+    val h2d transfers ride the tunnel during train compute instead of
+    serializing after it). Depth bounds how many device_put val batches may
+    sit in HBM at once: enough to drain the whole val set under the byte cap
+    (GAN_TPU_VAL_PREFETCH_BYTES, default 256 MB — comfortably inside the
+    20% headroom the hybrid tiers reserve), never fewer than the normal
+    double-buffer."""
+    import os
+
+    cap = int(os.environ.get("GAN_TPU_VAL_PREFETCH_BYTES", 256_000_000))
+    n_batches = -(-max(n_rows, 1) // batch_size)
+    return max(2, min(n_batches, cap // max(1, batch_size * row_bytes)))
+
+
 def _rebatch(batches, batch_size: int):
     """Re-chunk a stream of (b, ...) arrays into (batch_size, ...) batches
     (last one partial). Holds at most one source batch plus one output batch

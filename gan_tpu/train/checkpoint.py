@@ -27,11 +27,25 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
+        self._anchor: Optional[int] = None
 
-    def save(self, epoch: int, state: Any) -> None:
-        """state: arbitrary pytree (params + opt states). Blocking save."""
+    def save(self, epoch: int, state: Any, *, anchor: bool = False) -> None:
+        """state: arbitrary pytree (params + opt states). Blocking save.
+
+        ``anchor=True`` marks a fault-fence rewind target saved at epoch
+        start (recovery.py) that is NOT part of the reference's output
+        contract (5-epoch cadence + final only, pix2pix.py:308-317): it is
+        deleted automatically once a later real save lands, so short runs
+        with ``max_to_keep`` > 1 don't leave a stray epoch-0 checkpoint in
+        ``training_checkpoints/``."""
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        if anchor:
+            self._anchor = epoch
+        elif self._anchor is not None and epoch != self._anchor:
+            if self._anchor in self._mgr.all_steps():
+                self._mgr.delete(self._anchor)
+            self._anchor = None
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()

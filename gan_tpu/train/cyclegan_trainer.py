@@ -74,6 +74,7 @@ class CycleGANTrainer:
         self._sample_fn = None
         self._batch_fn = None
         self._sample_calls = 0   # fresh dropout key per generate() call
+        self._rot = None         # hybrid residency-rotation state (fit)
         # remainder step: prep + step in one replicated program (any mesh size)
         self._rem_train = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, True))
         self._rem_eval = jax.jit(lambda p, o, u8, k: self._rem_step(p, o, u8, k, False))
@@ -454,27 +455,52 @@ class CycleGANTrainer:
         return losses
 
     def _run_epoch_streaming(self, x, y, epoch_key, *, training: bool,
-                             rng: np.random.Generator):
+                             rng: np.random.Generator, batches=None):
         """Host-streamed zip(X, Y) pass: sources are host uint8 arrays
         (``--device-cache off``) or data.loader.FileCache objects (corpora
         bigger than host RAM — batches decode from files in background
         threads). Full batches shard over the mesh through the same psum'd
-        step as the cached path; the zip tail runs replicated."""
+        step as the cached path; the zip tail runs replicated.
+
+        ``batches``: a pre-started stream from :meth:`_val_stream` (fit
+        starts the VAL producer before the train epoch so its transfers
+        overlap train compute; the epoch's perms were then already drawn
+        from the caller's rng — this method must not draw again)."""
         cfg = self.config
         b = cfg.batch_size
         nx, ny = x.shape[0], y.shape[0]
         if min(nx, ny) == 0:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
-        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
-        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
-        n_total = min(-(-nx // b), -(-ny // b))
-        losses = self._consume_stream(
-            self._stream_batches(x, y, perm_x, perm_y, start_step=0,
-                                 n_total=n_total),
-            epoch_key, training)
+        if batches is None:
+            perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
+            perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+            n_total = min(-(-nx // b), -(-ny // b))
+            batches = self._stream_batches(x, y, perm_x, perm_y,
+                                           start_step=0, n_total=n_total)
+        losses = self._consume_stream(batches, epoch_key, training)
         if not losses:
             return np.zeros((0, len(CYCLEGAN_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
+
+    def _val_stream(self, val_x, val_y, rng: np.random.Generator):
+        """Pre-started streamed-val producer (draws this epoch's val perms
+        NOW — rng is the epoch's dedicated val stream, loop.epoch_rng(seed,
+        epoch, 1), so drawing before the train epoch perturbs nothing) with
+        a depth that lets the whole val set transfer during train
+        (loader.val_stream_depth)."""
+        from gan_tpu.data.loader import val_stream_depth
+        cfg = self.config
+        b = cfg.batch_size
+        nx, ny = val_x.shape[0], val_y.shape[0]
+        if min(nx, ny) == 0:
+            return None
+        perm_x = loop.epoch_perm(nx, cfg.buffer_size, rng)
+        perm_y = loop.epoch_perm(ny, cfg.buffer_size, rng)
+        n_total = min(-(-nx // b), -(-ny // b))
+        row = (int(np.prod(val_x.shape[1:])) + int(np.prod(val_y.shape[1:])))
+        return self._stream_batches(
+            val_x, val_y, perm_x, perm_y, start_step=0, n_total=n_total,
+            depth=val_stream_depth(min(nx, ny), b, row))
 
     # Hybrid epochs keep LESS resident than the pure-flat ceiling: a 25.4k/
     # domain hybrid run at 100.6% of the then-3.27 GB flat bracket crashed
@@ -504,23 +530,103 @@ class CycleGANTrainer:
         return max(0, min(int(budget // row), x.shape[0], y.shape[0])
                    // b * b)
 
-    def _run_epoch_hybrid(self, caches_dev, res_x, res_y, x, y, epoch_key, *,
-                          training: bool, rng: np.random.Generator):
-        """Resident-prefix + streamed-tail zip epoch for corpora beyond
-        CycleGAN's flat budget (loader.CYCLEGAN_FLAT_SAFE_BYTES, 4.2 GB —
-        the 25.4k/domain reference corpus fits flat since epoch
-        segmentation; hybrid serves corpora beyond that).
+    # --------------------------------------------------- hybrid residency rotation
+    def _hybrid_rotation_init(self, nx: int, ny: int, n_res: int,
+                              start_epoch: int):
+        """Rotation state for hybrid epochs: blocks of one global batch;
+        per-domain stride sized so the residency window wraps the whole
+        corpus about once over the configured run (ceil(M / epochs) blocks
+        per epoch — the reference 25.4k/200-epoch config refreshes ~2.5% of
+        the tail's transfer volume per epoch). GAN_TPU_HYBRID_ROTATE=0
+        disables (frozen partition, the pre-round-5 behavior);
+        GAN_TPU_HYBRID_ROTATE_STRIDE overrides the stride in blocks."""
+        if os.environ.get("GAN_TPU_HYBRID_ROTATE", "1") == "0":
+            return None
+        cfg = self.config
+        k = cfg.batch_size
+        m_res = n_res // k
+        env_stride = os.environ.get("GAN_TPU_HYBRID_ROTATE_STRIDE")
+        rot = {"k": k, "m_res": m_res, "M": {}, "stride": {},
+               "synced": start_epoch}
+        for dom, n in (("x", nx), ("y", ny)):
+            M = n // k
+            stride = (int(env_stride) if env_stride is not None
+                      else -(-M // max(1, cfg.epochs)))
+            rot["M"][dom] = M
+            rot["stride"][dom] = max(0, min(stride, M - m_res))
+        if all(s == 0 for s in rot["stride"].values()):
+            return None  # nothing ever streams in block units — no rotation
+        return rot
 
-        Rows [0, n_res) of EACH domain live device-resident (FlatCache) and
-        run as the scanned epoch; later rows stream, their transfers
+    def _hybrid_resident_rows_for(self, dom: str, epoch: int) -> np.ndarray:
+        """Global row indices resident at ``epoch`` (slot order)."""
+        rot = self._rot
+        k = rot["k"]
+        plan = loop.rotation_plan(rot["M"][dom], rot["m_res"],
+                                  rot["stride"][dom], epoch)
+        return (plan[:, None] * k + np.arange(k)).reshape(-1)
+
+    def _hybrid_streamed_rows_for(self, dom: str, n: int,
+                                  epoch: int) -> np.ndarray:
+        """Global row indices streamed at ``epoch`` (ascending): the blocks
+        not resident plus the permanent sub-block residue [M·k, n)."""
+        rot = self._rot
+        k = rot["k"]
+        M = rot["M"][dom]
+        plan = loop.rotation_plan(M, rot["m_res"], rot["stride"][dom], epoch)
+        mask = np.ones(M, bool)
+        mask[plan] = False
+        blocks = np.nonzero(mask)[0]
+        rows = (blocks[:, None] * k + np.arange(k)).reshape(-1)
+        return np.concatenate([rows, np.arange(M * k, n)])
+
+    def _sync_hybrid_rotation(self, caches, x, y, epoch):
+        """Bring the resident FlatCaches from the partition of the last
+        synced epoch to ``epoch``'s (uploading only the differing slots —
+        normally ``stride`` blocks; more only right after a FaultFence
+        rewind), and return (caches, (streamed_rows_x, streamed_rows_y)).
+        Pure replay (loop.rotation_plan) keeps this deterministic under
+        rewind/resume."""
+        rot = self._rot
+        k = rot["k"]
+        for dom, arr in (("x", x), ("y", y)):
+            cur = loop.rotation_plan(rot["M"][dom], rot["m_res"],
+                                     rot["stride"][dom], rot["synced"])
+            tgt = loop.rotation_plan(rot["M"][dom], rot["m_res"],
+                                     rot["stride"][dom], epoch)
+            for j in np.nonzero(cur != tgt)[0]:
+                blk = int(tgt[j])
+                caches[dom] = loop.update_cache_rows(
+                    caches[dom], np.ascontiguousarray(arr[blk * k:(blk + 1) * k]),
+                    int(j) * k, self.mesh)
+        rot["synced"] = epoch
+        return caches, (self._hybrid_streamed_rows_for("x", x.shape[0], epoch),
+                        self._hybrid_streamed_rows_for("y", y.shape[0], epoch))
+
+    def _run_epoch_hybrid(self, caches_dev, res_x, res_y, x, y, epoch_key, *,
+                          training: bool, rng: np.random.Generator,
+                          tail_rows=None):
+        """Resident + streamed-tail zip epoch for corpora beyond CycleGAN's
+        flat budget (loader.CYCLEGAN_FLAT_SAFE_BYTES, 4.2 GB — the
+        25.4k/domain reference corpus fits flat since epoch segmentation;
+        hybrid serves corpora beyond that).
+
+        ``n_res`` rows of EACH domain live device-resident (FlatCache) and
+        run as the scanned epoch; the rest stream, their transfers
         overlapped against the scan. Per-epoch reshuffles draw within the
-        resident and tail partitions independently (``--buffer-size``
-        windowed semantics apply within each) — a bounded-mixing deviation
-        of the same kind as tf.data's windowed shuffle itself, in exchange
-        for ~6× the pure-streaming throughput; each row is still visited at
-        most once per epoch, exactly once for the shorter domain. RNG
-        streams stay step-indexed exactly like a fully cached epoch
-        (scan steps 0..S_res-1, streamed steps S_res.., zip tail last)."""
+        resident and streamed partitions independently (``--buffer-size``
+        windowed semantics apply within each); WHICH rows are resident
+        rotates across epochs (fit's _sync_hybrid_rotation passes this
+        epoch's streamed rows as ``tail_rows``), so over a run any two rows
+        can share a partition — the frozen-partition deviation the
+        non-rotating form had (tf.data's windowed shuffle slides over the
+        WHOLE dataset, cycle_gan.py:140-150) is gone, at a per-epoch refresh
+        cost of ``stride`` blocks (loop.rotation_plan). ``tail_rows=None``
+        keeps the fixed partition (rows [0, n_res) resident — direct callers
+        and GAN_TPU_HYBRID_ROTATE=0). Each row is still visited at most once
+        per epoch, exactly once for the shorter domain. RNG streams stay
+        step-indexed exactly like a fully cached epoch (scan steps
+        0..S_res-1, streamed steps S_res.., zip tail last)."""
         cfg = self.config
         b = cfg.batch_size
         ndev = self.mesh.size
@@ -533,10 +639,18 @@ class CycleGANTrainer:
         total_ref = min(-(-nx // b), -(-ny // b))
         s_res = n_res // b
 
-        # tail partitions (global rows n_res..) in windowed-shuffled order,
-        # producer started BEFORE the scan so transfers overlap compute
-        tail_x = n_res + loop.epoch_perm(nx - n_res, cfg.buffer_size, rng)
-        tail_y = n_res + loop.epoch_perm(ny - n_res, cfg.buffer_size, rng)
+        # streamed partitions in windowed-shuffled order, producer started
+        # BEFORE the scan so transfers overlap compute. Draw sizes equal the
+        # fixed-partition form's (resident count is constant), so the rng
+        # stream stays aligned whichever partition this epoch rotated to.
+        if tail_rows is None:
+            tail_x = n_res + loop.epoch_perm(nx - n_res, cfg.buffer_size, rng)
+            tail_y = n_res + loop.epoch_perm(ny - n_res, cfg.buffer_size, rng)
+        else:
+            rows_x, rows_y = tail_rows
+            assert len(rows_x) == nx - n_res and len(rows_y) == ny - n_res
+            tail_x = rows_x[loop.epoch_perm(len(rows_x), cfg.buffer_size, rng)]
+            tail_y = rows_y[loop.epoch_perm(len(rows_y), cfg.buffer_size, rng)]
         tail = self._stream_batches(
             x, y, tail_x, tail_y, start_step=s_res, n_total=total_ref,
             depth=int(os.environ.get("GAN_TPU_HYBRID_DEPTH", "16")))
@@ -623,7 +737,18 @@ class CycleGANTrainer:
                 n_res = self._hybrid_resident_rows(train_x, train_y, reserved)
                 if n_res:
                     plan[0] = f"hybrid({n_res} rows/domain resident)"
-                    res_x, res_y = train_x[:n_res], train_y[:n_res]
+                    # rotating residency: the initial resident rows are the
+                    # start_epoch partition (resume-correct), refreshed per
+                    # epoch by _sync_hybrid_rotation
+                    self._rot = self._hybrid_rotation_init(
+                        len(train_x), len(train_y), n_res, start_epoch)
+                    if self._rot is not None:
+                        res_x = train_x[self._hybrid_resident_rows_for(
+                            "x", start_epoch)]
+                        res_y = train_y[self._hybrid_resident_rows_for(
+                            "y", start_epoch)]
+                    else:
+                        res_x, res_y = train_x[:n_res], train_y[:n_res]
                     caches_train = {
                         "x": loop.put_cache(res_x, self.mesh, storage="flat"),
                         "y": loop.put_cache(res_y, self.mesh, storage="flat")}
@@ -632,7 +757,6 @@ class CycleGANTrainer:
                   "(stream = batches fed from host).", flush=True)
 
         start = time.time()
-        rng = np.random.default_rng(cfg.seed)
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         train_cost = empty_losses(CYCLEGAN_LOSS_KEYS)
         val_cost = empty_losses(CYCLEGAN_LOSS_KEYS)
@@ -646,12 +770,23 @@ class CycleGANTrainer:
         fence = FaultFence(self, checkpoint_manager)
         if (checkpoint_manager is not None
                 and checkpoint_manager.latest_epoch() is None):
-            checkpoint_manager.save(start_epoch, self.state())
+            # anchor=True: deleted once the first real save lands (reference
+            # training_checkpoints/ holds the 5-epoch cadence + final only)
+            checkpoint_manager.save(start_epoch, self.state(), anchor=True)
 
         epoch = start_epoch
         while epoch < cfg.epochs:
           try:
             ek = jax.random.fold_in(base_key, epoch)
+            # per-epoch host RNG, pure in (seed, epoch): CycleGAN's shuffle
+            # orders are re-drawn identically when a FaultFence rewind
+            # re-runs an epoch or --resume restarts mid-run (loop.epoch_rng)
+            rng = loop.epoch_rng(cfg.seed, epoch, 0)
+            rng_val = loop.epoch_rng(cfg.seed, epoch, 1)
+            # pre-start the streamed-val producer BEFORE the train epoch so
+            # val transfers overlap train compute (see Pix2PixTrainer.fit)
+            val_stream = (self._val_stream(val_x, val_y, rng_val)
+                          if caches_val is None else None)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
                 if caches_train is None:
@@ -659,10 +794,15 @@ class CycleGANTrainer:
                                                    jax.random.fold_in(ek, 0),
                                                    training=True, rng=rng)
                 elif res_x is not None:
+                    tail_rows = None
+                    if self._rot is not None:
+                        caches_train, tail_rows = self._sync_hybrid_rotation(
+                            caches_train, train_x, train_y, epoch)
                     tr = self._run_epoch_hybrid(caches_train, res_x, res_y,
                                                 train_x, train_y,
                                                 jax.random.fold_in(ek, 0),
-                                                training=True, rng=rng)
+                                                training=True, rng=rng,
+                                                tail_rows=tail_rows)
                 else:
                     tr = self._run_epoch(caches_train, train_x, train_y,
                                          jax.random.fold_in(ek, 0), training=True,
@@ -679,11 +819,12 @@ class CycleGANTrainer:
             if caches_val is None:
                 va = self._run_epoch_streaming(val_x, val_y,
                                                jax.random.fold_in(ek, 1),
-                                               training=False, rng=rng)
+                                               training=False, rng=rng_val,
+                                               batches=val_stream)
             else:
                 va = self._run_epoch(caches_val, val_x, val_y,
                                      jax.random.fold_in(ek, 1), training=False,
-                                     rng=rng)
+                                     rng=rng_val)
             for i, k in enumerate(CYCLEGAN_LOSS_KEYS):
                 train_cost[k].append(float(tr[:, i].mean()) if len(tr) else float("nan"))
                 val_cost[k].append(float(va[:, i].mean()) if len(va) else float("nan"))
@@ -693,8 +834,11 @@ class CycleGANTrainer:
             if ((epoch + 1) % 5 == 0) and ((epoch + 1) != cfg.epochs):
                 if checkpoint_manager is not None:
                     checkpoint_manager.save(epoch + 1, self.state())
+                # key_index from the epoch: rewind/--resume re-generate
+                # byte-identical sample PNGs (see generate)
                 self.generate_image(example,
-                                    os.path.join(test_img_path, f"epoch_{epoch + 1}.png"))
+                                    os.path.join(test_img_path, f"epoch_{epoch + 1}.png"),
+                                    key_index=epoch + 1)
             if (epoch + 1) == cfg.epochs and checkpoint_manager is not None:
                 checkpoint_manager.save(epoch + 1, self.state())
             # --checkpoint-every N (recovery extension) — see pix2pix twin
@@ -723,26 +867,33 @@ class CycleGANTrainer:
 
         return train_cost, val_cost
 
-    def generate(self, input_batch: np.ndarray) -> np.ndarray:
+    def generate(self, input_batch: np.ndarray,
+                 key_index: Optional[int] = None) -> np.ndarray:
         """generator_g(x) with training-mode semantics (cycle_gan.py:186).
 
-        Per-call counter folded into the key so successive samples vary as
-        the reference's unseeded dropout does (deterministic from --seed);
-        counter starts at 0 → keys match generate_batched's index-derived
-        ones for a serial loop."""
+        ``key_index`` is folded into the seeded key so successive samples
+        vary as the reference's unseeded dropout does while staying
+        deterministic from --seed. Internal callers pass an explicit index
+        (fit: the epoch number; the CLI final loop: the image index) so a
+        FaultFence rewind or ``--resume`` reproduces the exact sample PNGs
+        of an uninterrupted run; when omitted a per-call counter supplies it
+        (starts at 0 → serial generate() keys match generate_batched's)."""
         if self._sample_fn is None:
             self._sample_fn = jax.jit(lambda p, x, k: self.gen.apply(
                 p, x, rng=k, compute_dtype=self.config.compute_dtype))
+        if key_index is None:
+            key_index = self._sample_calls
+            self._sample_calls += 1
         key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed + 2),
-                                 self._sample_calls)
-        self._sample_calls += 1
+                                 key_index)
         out = self._sample_fn(self.params["gen_g"],
                               jnp.asarray(input_batch, self.config.compute_dtype), key)
         return np.asarray(out, np.float32)
 
-    def generate_image(self, input_image: np.ndarray, path_filename: str) -> None:
+    def generate_image(self, input_image: np.ndarray, path_filename: str,
+                       key_index: Optional[int] = None) -> None:
         """2-panel Input / Predicted grid (cycle_gan.py:179-204)."""
-        pred = self.generate(input_image)
+        pred = self.generate(input_image, key_index=key_index)
         save_image_grid([input_image[0], pred[0]], path_filename,
                         channels=self.config.channels)
 

@@ -447,13 +447,22 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
     per_shard = size_fn((l,) + cache_np.shape[1:])
     n_chunks = max(1, -(-per_shard // CHUNK_LIMIT_BYTES))
     if n_chunks > 1 and process_local and multiproc:
-        raise NotImplementedError(
-            f"per-device cache shard is {per_shard/1e9:.2f} GB tile-padded — "
-            "above the single-buffer runtime limit — and cache chunking is "
-            "not implemented for process-local pod caches; use more "
-            "processes/devices or stream from host (--device-cache off)")
-    parts = ([cache_np] if n_chunks == 1
-             else _chunk_local(cache_np, ndev, n_chunks))
+        # pod-scale chunking (e.g. the reference 512² corpus — 14.9 GB flat —
+        # on an 8-device pod: ~1.9 GB/shard, over the single-buffer limit):
+        # cache_np holds THIS process's device stripes concatenated
+        # (process_stripe_rows order), so _chunk_local over the LOCAL stripe
+        # count yields chunk k = every local device's rows [k·lk, (k+1)·lk)
+        # — exactly this process's contribution to a global chunk of
+        # lk·ndev rows, assembled below via make_array_from_process_local_
+        # data with the per-chunk global row count. n_chunks and lk derive
+        # from (l, shape) alone, identical on every process.
+        parts = _chunk_local(cache_np, n_local_dev, n_chunks)
+        global_rows = (parts[0].shape[0] // n_local_dev) * ndev
+    else:
+        # (n_chunks > 1 here implies a single-controller layout, where
+        # global_rows is None and _chunk_local splits over all mesh stripes)
+        parts = ([cache_np] if n_chunks == 1
+                 else _chunk_local(cache_np, ndev, n_chunks))
 
     relayout = None
     m2m = None if storage == "flat" else _preferred_cache_layout(cache_np.ndim)
@@ -498,6 +507,98 @@ def put_cache(cache_np: np.ndarray, mesh, *, process_local: bool = False,
 
     out = list(pipelined_map(iter(parts), _put_part))
     return out[0] if n_chunks == 1 else tuple(out)
+
+
+def rotation_plan(n_blocks: int, m_res: int, stride: int,
+                  epoch: int) -> np.ndarray:
+    """Slot→block map for rotating hybrid residency at ``epoch`` — a pure
+    function of its arguments (replayed from epoch 0, a few thousand int ops
+    at most), so FaultFence rewinds and ``--resume`` reconstruct exactly the
+    partition an uninterrupted run had.
+
+    Blocks cycle FIFO: each epoch the ``stride`` longest-resident slots swap
+    their block with the head of the streamed queue. Over ``n_blocks/stride``
+    epochs every block passes through residency in cyclic order, so any two
+    blocks are eventually either co-resident (cyclic distance < m_res) or
+    co-streamed (cyclic distance < n_blocks − m_res) — and since
+    max(m_res, n_blocks − m_res) ≥ n_blocks/2 ≥ every minimal cyclic
+    distance, ALL block pairs can share a partition at some epoch. That
+    closes the frozen-partition deviation of non-rotating hybrid epochs
+    (rows [0, n_res) never mixing with the tail) while uploading only
+    ``stride`` blocks per epoch."""
+    resident = np.arange(m_res, dtype=np.int64)
+    if n_blocks <= m_res or stride <= 0 or m_res <= 0:
+        return resident[:min(m_res, n_blocks)]
+    from collections import deque
+    streamed = deque(range(m_res, n_blocks))
+    t = 0
+    for _ in range(epoch):
+        for _ in range(stride):
+            slot = t % m_res
+            incoming = streamed.popleft()
+            streamed.append(int(resident[slot]))
+            resident[slot] = incoming
+            t += 1
+    return resident
+
+
+def update_cache_rows(cache, rows_np: np.ndarray, pos0: int, mesh):
+    """Overwrite striped-cache positions [pos0, pos0 + k) of a FLAT device
+    cache with ``rows_np`` (k, *sample_shape) — the hybrid-rotation refresh.
+    ``pos0`` and ``k`` must be multiples of the mesh size so the write is a
+    contiguous local-row range on every device (striping maps position p →
+    device p % ndev, local p // ndev). Runs as one donated jitted
+    dynamic-update per strip chunk (compiled once per shape); returns the
+    updated FlatCache (old buffers donated away)."""
+    assert isinstance(cache, FlatCache), "rotation refresh targets FlatCache"
+    ndev = mesh.size
+    k = rows_np.shape[0]
+    assert pos0 % ndev == 0 and k % ndev == 0, (pos0, k, ndev)
+    flat = rows_np.reshape(k, -1)
+    if ndev > 1:
+        flat = flat[stripe_order(k, ndev)]
+    local0, lrows = pos0 // ndev, k // ndev
+    new_strips = []
+    for si, lo in enumerate(range(0, flat.shape[1], FLAT_STRIP_BYTES)):
+        part = np.ascontiguousarray(flat[:, lo:lo + FLAT_STRIP_BYTES])
+        strip = cache.strips[si]
+        if isinstance(strip, tuple):           # row-chunked strip
+            lk = strip[0].shape[0] // ndev     # local rows per chunk
+            out = []
+            for c, chunk in enumerate(strip):
+                a, b = max(local0, c * lk), min(local0 + lrows, (c + 1) * lk)
+                if a >= b:
+                    out.append(chunk)
+                    continue
+                sub = part.reshape(ndev, lrows, -1)[:, a - local0:b - local0]
+                out.append(_strip_write(chunk, sub.reshape((b - a) * ndev, -1),
+                                        a - c * lk, mesh))
+            new_strips.append(tuple(out))
+        else:
+            new_strips.append(_strip_write(strip, part, local0, mesh))
+    return FlatCache(new_strips, cache.sample_shape)
+
+
+_STRIP_WRITERS: dict = {}
+
+
+def _strip_write(strip, rows_host: np.ndarray, local0: int, mesh):
+    """shard_map'd donated row-range write into one strip buffer. ``rows_host``
+    is device-major ((ndev·m, w): device d's rows at [d·m, (d+1)·m)); the
+    write offset is a traced scalar so one compile serves every slot."""
+    key = (mesh, strip.shape, strip.dtype, rows_host.shape)
+    fn = _STRIP_WRITERS.get(key)
+    if fn is None:
+        def write(s, r, off):
+            return jax.lax.dynamic_update_slice_in_dim(s, r, off[0], axis=0)
+
+        sm = jax.shard_map(write, mesh=mesh,
+                           in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+                           out_specs=P(DATA_AXIS), check_vma=False)
+        fn = jax.jit(sm, donate_argnums=0)
+        _STRIP_WRITERS[key] = fn
+    rows_dev = put_global(rows_host, batch_sharding(mesh))
+    return fn(strip, rows_dev, jnp.asarray([local0], jnp.int32))
 
 
 def local_perm(n: int, *, ndev: int, n_steps: int,
@@ -559,6 +660,20 @@ def shuffled_stripe_perm(n: int, *, ndev: int, n_steps: int,
                 else np.empty(0, np.int64))
     rng.shuffle(leftover)  # unbias the tail draw across device stripes
     return perm, leftover
+
+
+def epoch_rng(seed: int, epoch: int, stream: int = 0) -> np.random.Generator:
+    """Host RNG for one epoch's shuffle draws — a pure function of (seed,
+    epoch, stream), NOT one stream consumed across epochs. That purity is
+    load-bearing for recovery: a FaultFence rewind re-runs destroyed epochs
+    and ``--resume`` restarts mid-run, and both must reproduce exactly the
+    shuffle orders an uninterrupted run would have drawn (the reference has
+    no such constraint — its tf.data shuffles are unseeded,
+    cycle_gan.py:140-150). ``stream`` separates the train (0) and val (1)
+    draws so either epoch half can be reordered/overlapped without
+    perturbing the other's orders."""
+    return np.random.default_rng(
+        np.random.SeedSequence([seed % (2**32), epoch, stream]))
 
 
 def epoch_perm(n: int, buffer_size: int, rng: np.random.Generator) -> np.ndarray:

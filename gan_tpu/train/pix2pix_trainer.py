@@ -367,7 +367,8 @@ class Pix2PixTrainer:
                                                   training))
         return losses
 
-    def _run_epoch_streaming(self, cache, epoch_key, *, training: bool):
+    def _run_epoch_streaming(self, cache, epoch_key, *, training: bool,
+                             batches=None):
         """Host-streamed epoch: batches come from host RAM
         (``--device-cache off`` / cache too big for HBM) or straight from
         files (a data.loader.FileCache — corpora bigger than host RAM,
@@ -377,12 +378,28 @@ class Pix2PixTrainer:
         the partial tail batch runs replicated. Throughput is bound by
         host→device bandwidth (~65 MB/s over the axon tunnel ⇒ ~400 img/s
         ceiling at 256² — benchmarks/transfer_bench.py); prefer the flat or
-        hybrid device caches whenever rows fit."""
-        losses = self._consume_stream(self._stream_batches(cache),
-                                      epoch_key, training)
+        hybrid device caches whenever rows fit.
+
+        ``batches``: a pre-started stream from :meth:`_stream_batches` —
+        fit() creates the VAL stream before dispatching the train epoch so
+        val transfers overlap train compute (the batches and their RNG keys
+        are functions of (cache, step) only, so results are bit-equal to the
+        serial form)."""
+        losses = self._consume_stream(
+            self._stream_batches(cache) if batches is None else batches,
+            epoch_key, training)
         if not losses:
             return np.zeros((0, len(PIX2PIX_LOSS_KEYS)), np.float32)
         return np.concatenate([np.asarray(l).reshape(1, -1) for l in losses])
+
+    def _val_stream(self, val_cache):
+        """Pre-started streamed-val producer with a depth that lets the whole
+        val set transfer during the train epoch (loader.val_stream_depth)."""
+        from gan_tpu.data.loader import val_stream_depth
+        row = int(np.prod(val_cache.shape[1:]))
+        return self._stream_batches(
+            val_cache, depth=val_stream_depth(val_cache.shape[0],
+                                             self.config.batch_size, row))
 
     def _run_epoch_hybrid(self, resident_dev, resident_host, cache, epoch_key,
                           *, training: bool, rng: np.random.Generator):
@@ -489,7 +506,6 @@ class Pix2PixTrainer:
         n_train, n_val = train_cache.shape[0], val_cache.shape[0]
 
         start = time.time()
-        rng = np.random.default_rng(cfg.seed)
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         train_cost_functions = empty_losses(PIX2PIX_LOSS_KEYS)
         val_cost_functions = empty_losses(PIX2PIX_LOSS_KEYS)
@@ -505,12 +521,22 @@ class Pix2PixTrainer:
         fence = FaultFence(self, checkpoint_manager)
         if (checkpoint_manager is not None
                 and checkpoint_manager.latest_epoch() is None):
-            checkpoint_manager.save(start_epoch, self.state())
+            # anchor=True: deleted once the first real save lands, keeping
+            # the reference's training_checkpoints/ layout (5-epoch cadence
+            # + final only) in the finished output dir
+            checkpoint_manager.save(start_epoch, self.state(), anchor=True)
 
         epoch = start_epoch
         while epoch < cfg.epochs:
           try:
             ek = jax.random.fold_in(base_key, epoch)
+            rng = loop.epoch_rng(cfg.seed, epoch)   # pure in (seed, epoch)
+            # pre-start the streamed-val producer BEFORE dispatching the
+            # train epoch: its h2d transfers then ride the tunnel while the
+            # train scan computes (prefetch threads start at call time),
+            # instead of serializing after the epoch. Bit-equal to serial
+            # consumption — batches/keys depend only on (cache, step).
+            val_stream = self._val_stream(val_cache) if val_dev is None else None
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
                 if train_dev is None:
@@ -535,7 +561,8 @@ class Pix2PixTrainer:
             if val_dev is None:
                 va = self._run_epoch_streaming(val_cache,
                                                jax.random.fold_in(ek, 1),
-                                               training=False)
+                                               training=False,
+                                               batches=val_stream)
             else:
                 va = self._run_epoch(val_dev, val_cache, jax.random.fold_in(ek, 1),
                                      training=False, fixed_order=True, rng=rng)
@@ -548,8 +575,11 @@ class Pix2PixTrainer:
             if ((epoch + 1) % 5 == 0) and ((epoch + 1) != cfg.epochs):
                 if checkpoint_manager is not None:
                     checkpoint_manager.save(epoch + 1, self.state())
+                # key_index from the epoch (not a call counter): a FaultFence
+                # rewind or --resume regenerates byte-identical sample PNGs
                 self.generate_image(example_input, example_target,
-                                    os.path.join(test_img_path, f"epoch_{epoch + 1}.png"))
+                                    os.path.join(test_img_path, f"epoch_{epoch + 1}.png"),
+                                    key_index=epoch + 1)
             if (epoch + 1) == cfg.epochs and checkpoint_manager is not None:
                 checkpoint_manager.save(epoch + 1, self.state())
             # --checkpoint-every N (recovery extension): extra saves between
@@ -577,29 +607,35 @@ class Pix2PixTrainer:
         return train_cost_functions, val_cost_functions
 
     def generate_image(self, input_image: np.ndarray, target: np.ndarray,
-                       path_filename: str) -> None:
+                       path_filename: str, key_index: Optional[int] = None) -> None:
         """3-panel Input / Ground Truth / Predicted grid (pix2pix.py:220-246).
         Forward runs training-mode (dropout on — the pix2pix paper's test-time
         convention, SURVEY §2.10-Q3)."""
-        pred = self.generate(input_image)
+        pred = self.generate(input_image, key_index=key_index)
         save_image_grid([input_image[0], target[0], pred[0]], path_filename,
                         channels=self.config.channels)
 
-    def generate(self, input_batch: np.ndarray) -> np.ndarray:
+    def generate(self, input_batch: np.ndarray,
+                 key_index: Optional[int] = None) -> np.ndarray:
         """G(x) with training-mode semantics; returns fp32 in [-1, 1].
 
         The reference draws fresh (unseeded) dropout randomness per call
-        (pix2pix.py:228); we fold a per-call counter into the seeded key so
-        successive samples (e.g. test_images/epoch_N.png) vary like the
-        reference's do while staying deterministic from --seed. Counter
-        starts at 0, so a serial loop of generate() calls uses the same
-        index-derived keys as generate_batched."""
+        (pix2pix.py:228); the dropout key here folds ``key_index`` into the
+        seeded base so samples vary like the reference's while staying
+        deterministic from --seed. Internal callers pass an explicit index
+        (fit: the epoch number; the CLI's final_test_imgs loop: the image
+        index) so a FaultFence rewind or ``--resume`` reproduces exactly the
+        sample PNGs of an uninterrupted run; when omitted, a per-call counter
+        supplies it (counter starts at 0 → a serial loop of generate() calls
+        uses the same index-derived keys as generate_batched)."""
         if self._sample_fn is None:
             self._sample_fn = jax.jit(lambda p, x, k: self.gen.apply(
                 p, x, rng=k, compute_dtype=self.config.compute_dtype))
+        if key_index is None:
+            key_index = self._sample_calls
+            self._sample_calls += 1
         key = jax.random.fold_in(jax.random.PRNGKey(self.config.seed + 2),
-                                 self._sample_calls)
-        self._sample_calls += 1
+                                 key_index)
         out = self._sample_fn(self.params["gen"],
                               jnp.asarray(input_batch, self.config.compute_dtype), key)
         return np.asarray(out, np.float32)

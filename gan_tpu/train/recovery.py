@@ -58,7 +58,13 @@ class TrainingFault(RuntimeError):
 def is_device_fault(exc: BaseException) -> bool:
     """Faults worth recovering from: runtime/transport failures. Logic errors
     (ValueError, TypeError, AssertionError, …) and KeyboardInterrupt are NOT
-    device faults and must propagate unchanged."""
+    device faults and must propagate unchanged. Filesystem OSErrors
+    (missing/forbidden paths raised by the epoch body's host-side PNG and
+    checkpoint writes) are config/logic errors too — retrying them 3× and
+    surfacing a TrainingFault would mask the real problem."""
+    if isinstance(exc, (FileNotFoundError, PermissionError, NotADirectoryError,
+                        IsADirectoryError, FileExistsError)):
+        return False
     return isinstance(exc, (RuntimeError, OSError, ConnectionError))
 
 

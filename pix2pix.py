@@ -107,7 +107,8 @@ def main(cfg: Pix2PixConfig) -> None:
         test_norm = np.asarray(normalize_batch(test_cache.astype(np.float32)))
         for i in range(test_norm.shape[0]):
             trainer.generate_image(test_norm[i:i + 1, 0], test_norm[i:i + 1, 1],
-                                   os.path.join(dirs.final_test_imgs, f"img{i}.png"))
+                                   os.path.join(dirs.final_test_imgs, f"img{i}.png"),
+                                   key_index=i)   # index-keyed: resume-stable
 
         dump_json(train_metrics, os.path.join(dirs.logs, "train_metrics.json"))
         dump_json(val_metrics, os.path.join(dirs.logs, "val_metrics.json"))

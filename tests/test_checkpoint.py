@@ -42,6 +42,24 @@ def test_max_to_keep_retention(tmp_path):
     mgr.close()
 
 
+def test_anchor_checkpoint_cleanup(tmp_path):
+    """The fault fence's epoch-start anchor (recovery.py) is not part of the
+    reference's training_checkpoints/ layout: it must survive while it is the
+    only rewind target and be deleted once the first real save lands."""
+    d = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(d, max_to_keep=3)
+    mgr.save(0, _tree(jax.random.PRNGKey(0)), anchor=True)
+    kept = sorted(int(os.path.basename(p)) for p in glob.glob(d + "/[0-9]*"))
+    assert kept == [0] and mgr.latest_epoch() == 0  # rewind target exists
+    mgr.save(5, _tree(jax.random.PRNGKey(5)))       # first real save
+    kept = sorted(int(os.path.basename(p)) for p in glob.glob(d + "/[0-9]*"))
+    assert kept == [5]                              # anchor gone
+    mgr.save(10, _tree(jax.random.PRNGKey(10)))     # no anchor left to delete
+    kept = sorted(int(os.path.basename(p)) for p in glob.glob(d + "/[0-9]*"))
+    assert kept == [5, 10]
+    mgr.close()
+
+
 def test_restore_specific_epoch(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
     s5, s10 = _tree(jax.random.PRNGKey(5)), _tree(jax.random.PRNGKey(10))

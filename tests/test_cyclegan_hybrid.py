@@ -12,6 +12,7 @@ structure and the tail orders.
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from gan_tpu.config import CycleGANConfig
@@ -106,6 +107,112 @@ def test_fit_takes_cyclegan_hybrid_path(tmp_path, monkeypatch):
     assert calls
     for k, v in tr_cost.items():
         assert np.isfinite(v).all()
+
+
+def test_rotation_plan_properties():
+    """loop.rotation_plan: pure in (args), FIFO stride diffs, and — the
+    round-5 fix for the frozen-partition deviation — every block pair shares
+    a partition (co-resident or co-streamed) at some epoch of a full cycle."""
+    M, m_res, stride = 11, 6, 2
+    plans = [loop.rotation_plan(M, m_res, stride, e) for e in range(M + 3)]
+    for e, p in enumerate(plans):
+        assert len(p) == m_res and len(set(p.tolist())) == m_res
+        assert set(p.tolist()) <= set(range(M))
+        # purity: replay reproduces (rewind/resume correctness)
+        assert np.array_equal(p, loop.rotation_plan(M, m_res, stride, e))
+        if e:
+            assert (plans[e - 1] != p).sum() <= stride  # bounded refresh
+    assert any((plans[0] != p).any() for p in plans[1:])  # partition moves
+    mixed = np.zeros((M, M), bool)
+    for p in plans:
+        res = set(p.tolist())
+        strm = set(range(M)) - res
+        for grp in (res, strm):
+            g = sorted(grp)
+            for a in g:
+                mixed[a, g] = True
+    assert mixed.all(), "some block pair never shares a partition"
+    # degenerate cases: nothing streams / zero stride -> identity partition
+    assert np.array_equal(loop.rotation_plan(4, 4, 1, 9), np.arange(4))
+    assert np.array_equal(loop.rotation_plan(8, 4, 0, 9), np.arange(4))
+
+
+@pytest.mark.parametrize("ndev", [1, 8])
+@pytest.mark.parametrize("chunked", [False, True])
+def test_update_cache_rows_equals_rebuild(ndev, chunked, monkeypatch):
+    """loop.update_cache_rows on a FlatCache ≡ rebuilding the cache from the
+    row-updated host array — across strip columns, row chunks, and mesh
+    sizes (the hybrid-rotation refresh's correctness contract)."""
+    from gan_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(loop, "FLAT_STRIP_BYTES", 1024)          # multi-strip
+    if chunked:
+        monkeypatch.setattr(loop, "CHUNK_LIMIT_BYTES", 16 * 4096)  # multi-chunk
+    mesh = make_mesh(ndev)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, (64, 50, 50, 1), dtype=np.uint8)
+    cache = loop.put_cache(data, mesh, storage="flat")
+    if chunked:
+        assert isinstance(cache.strips[0], tuple)  # chunking actually engaged
+    new_rows = rng.integers(0, 255, (16, 50, 50, 1), dtype=np.uint8)
+    pos0 = 24
+    cache2 = loop.update_cache_rows(cache, new_rows, pos0, mesh)
+    updated = data.copy()
+    updated[pos0:pos0 + 16] = new_rows
+    ref = loop.put_cache(updated, mesh, storage="flat")
+    fetch = jax.jit(lambda c: loop.fetch_rows(c, jnp.arange(64), "take"))
+    np.testing.assert_array_equal(np.asarray(fetch(cache2)),
+                                  np.asarray(fetch(ref)))
+
+
+def test_fit_hybrid_rotation_rotates_and_is_deterministic(tmp_path, monkeypatch):
+    """A multi-epoch hybrid fit rotates the resident partition (tail row
+    sets differ across epochs, union with resident rows covers every row)
+    and is bit-deterministic across identical runs (the refresh path replays
+    purely from (seed, epoch))."""
+    rng = np.random.default_rng(3)
+    x, y = _domain(24, 0), _domain(20, 1)
+    vx, vy = (rng.integers(0, 255, (4, 32, 32, 1), np.uint8) for _ in range(2))
+    test = rng.integers(0, 255, (2, 32, 32, 1), np.uint8)
+    monkeypatch.setattr(loader, "device_cache_fits", lambda *a, **k: False)
+    row = -(-62 * 62 // 128) * 128
+    vrow = -(-32 * 32 // 128) * 128
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX",
+                       str(2 * 32 * vrow + 2 * 10 * row))
+
+    def run(out):
+        cfg = _cfg(batch=8)
+        cfg.epochs = 3
+        tr = CycleGANTrainer(cfg)
+        tails = []
+        orig = CycleGANTrainer._run_epoch_hybrid
+
+        def spy(self, caches, rx, ry, xx, yy, key, **kw):
+            if kw.get("training") and kw.get("tail_rows") is not None:
+                tails.append(tuple(np.sort(r) for r in kw["tail_rows"]))
+            return orig(self, caches, rx, ry, xx, yy, key, **kw)
+
+        monkeypatch.setattr(CycleGANTrainer, "_run_epoch_hybrid", spy)
+        tc, vc = tr.fit(x, y, vx, vy, test, str(tmp_path / out))
+        monkeypatch.setattr(CycleGANTrainer, "_run_epoch_hybrid", orig)
+        return tr, tails, tc
+
+    tr1, tails1, cost1 = run("a")
+    assert tr1._rot is not None and len(tails1) == 3
+    n_res = 8  # 10-row budget * 0.8 margin -> batch-rounded 8
+    for e, (tx, ty) in enumerate(tails1):
+        # exactly-once coverage: resident ∪ streamed == all rows, disjoint
+        rx = tr1._hybrid_resident_rows_for("x", e)
+        ry = tr1._hybrid_resident_rows_for("y", e)
+        assert sorted(np.concatenate([rx, tx]).tolist()) == list(range(24))
+        assert sorted(np.concatenate([ry, ty]).tolist()) == list(range(20))
+    # the partition MOVES across epochs
+    assert any(not np.array_equal(tails1[0][0], t[0]) for t in tails1[1:])
+
+    tr2, tails2, cost2 = run("b")
+    assert cost1 == cost2  # deterministic incl. the refresh path
+    for (a1, b1), (a2, b2) in zip(tails1, tails2):
+        assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
 
 
 def test_hybrid_tail_orders_cover_each_row_once(monkeypatch):

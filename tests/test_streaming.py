@@ -108,6 +108,39 @@ def test_pix2pix_cli_file_streaming_end_to_end(tmp_path, monkeypatch):
     assert len(glob.glob(f"{run2}/prediction_images_raw/pair_*.png")) == 12
 
 
+def test_fit_streamed_val_overlap_matches_cached_val(tmp_path):
+    """--device-cache off runs val through the PRE-STARTED stream (producer
+    launched before the train epoch so transfers overlap train compute);
+    metrics must match the fully cached fit up to XLA program-shape float
+    noise — the overlap is a scheduling change only."""
+    rng = np.random.default_rng(17)
+    train = _train_cache(11, rng)                       # full batches + tail
+    val = rng.integers(0, 255, (6, 2, 32, 32, 1), np.uint8)
+    test = rng.integers(0, 255, (2, 2, 32, 32, 1), np.uint8)
+
+    def run(device_cache, out):
+        cfg = _cfg(1, batch=4)
+        cfg.epochs = 2
+        cfg.device_cache = device_cache
+        tr = Pix2PixTrainer(cfg)
+        return tr.fit(train, val, test, str(tmp_path / out))
+
+    tc1, vc1 = run("auto", "cached")
+    tc2, vc2 = run("off", "streamed")
+    for k in vc1:
+        # first TRAIN epoch starts from identical params — only XLA
+        # program-shape noise separates the runs there (scan vs per-batch
+        # programs, ~1e-6 rel on losses)
+        np.testing.assert_allclose(tc1[k][:1], tc2[k][:1], rtol=1e-4, atol=1e-5)
+        # every later entry (val included — it runs AFTER a train epoch) has
+        # passed that noise through GAN weight updates, which amplify it
+        # (~5e-4 rel measured over 2 epochs); an actual pairing/RNG bug
+        # shows up at ~2e-1 (see the fixed-order epoch test's docstring),
+        # so the loose bound still separates cleanly
+        np.testing.assert_allclose(vc1[k], vc2[k], rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(tc1[k], tc2[k], rtol=5e-3, atol=1e-4)
+
+
 def test_cyclegan_streamed_epoch_matches_cached(cpu_devices):
     """CycleGAN shuffled epochs share the host perm between cached and
     streamed paths, so single-device losses match exactly too."""

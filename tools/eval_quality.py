@@ -102,6 +102,10 @@ def main(argv=None) -> int:
     ap.add_argument("--channels", type=int, default=1, choices=[1, 3])
     ap.add_argument("--img-size", type=int, default=256)
     ap.add_argument("--orient", default="left", choices=["left", "right"])
+    ap.add_argument("--fid-weights", default=None,
+                    help="InceptionV3 .npz from tools/import_inception_weights"
+                         ".py — computes TRUE FID over pool3 features "
+                         "(random-init exports yield a structured proxy only)")
     args = ap.parse_args(argv)
 
     gen_names = sorted(n for n in os.listdir(args.generated)
@@ -142,6 +146,15 @@ def main(argv=None) -> int:
         "psnr_db": psnr(gen, tar),
         "frechet_proxy": frechet_distance(feats_g, feats_t),
     }
+    if args.fid_weights:
+        # true FID over InceptionV3 pool3 features (gan_tpu/models/
+        # inception.py — extractor parity vs keras is unit-tested); only a
+        # PRETRAINED weight export yields numbers comparable to the
+        # literature, a --random export is a structured proxy
+        from gan_tpu.models.inception import extract_features, load_params
+        iv3 = load_params(args.fid_weights)
+        report["fid"] = frechet_distance(extract_features(iv3, gen),
+                                         extract_features(iv3, tar))
     print(json.dumps(report))
     return 0
 
