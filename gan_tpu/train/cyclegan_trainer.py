@@ -784,9 +784,12 @@ class CycleGANTrainer:
             rng = loop.epoch_rng(cfg.seed, epoch, 0)
             rng_val = loop.epoch_rng(cfg.seed, epoch, 1)
             # pre-start the streamed-val producer BEFORE the train epoch so
-            # val transfers overlap train compute (see Pix2PixTrainer.fit)
+            # val transfers overlap train compute (see Pix2PixTrainer.fit);
+            # GAN_TPU_VAL_OVERLAP=0 restores the serial order (A/B baseline)
             val_stream = (self._val_stream(val_x, val_y, rng_val)
-                          if caches_val is None else None)
+                          if caches_val is None
+                          and os.environ.get("GAN_TPU_VAL_OVERLAP", "1") != "0"
+                          else None)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
                 if caches_train is None:

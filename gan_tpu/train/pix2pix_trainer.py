@@ -536,7 +536,11 @@ class Pix2PixTrainer:
             # train scan computes (prefetch threads start at call time),
             # instead of serializing after the epoch. Bit-equal to serial
             # consumption — batches/keys depend only on (cache, step).
-            val_stream = self._val_stream(val_cache) if val_dev is None else None
+            # GAN_TPU_VAL_OVERLAP=0 restores the serial order (A/B baseline).
+            val_stream = (self._val_stream(val_cache)
+                          if val_dev is None
+                          and os.environ.get("GAN_TPU_VAL_OVERLAP", "1") != "0"
+                          else None)
             perf.start()
             with trace(profile_dir_from_env() if epoch == start_epoch + 1 else None):
                 if train_dev is None:
