@@ -100,19 +100,23 @@ def main():
         tr.fit(x, y, vx, vy, test, out)
         # drop the first epoch of the FIRST arm (compiles)
         eps = times[1:] if i == 0 else list(times)
+        # steady state = the LAST epoch: a rotating arm's first epochs pay
+        # one-off costs (the _strip_write compile on its first refresh, and
+        # cache-put transfers still draining into epoch 0's window)
         results[name] = {"epoch_s": [round(t, 2) for t in eps],
-                         "median_s": round(sorted(eps)[len(eps) // 2], 2)}
+                         "median_s": round(sorted(eps)[len(eps) // 2], 2),
+                         "steady_state_s": round(eps[-1], 2)}
         heartbeat(f"{name}: {results[name]}")
 
-    base = results["frozen"]["median_s"]
+    base = results["frozen"]["steady_state_s"]
     report = {
         "description": __doc__.split("\n\n")[0],
         "rows_per_domain": n, "batch": batch, "epochs_per_arm": epochs,
         "img_size": 256, "dtype": "bf16",
         "resident_target_rows": n_res_target,
         "results": results,
-        "overhead_vs_frozen_pct": {
-            k: round(100 * (v["median_s"] - base) / base, 1)
+        "overhead_vs_frozen_pct_steady_state": {
+            k: round(100 * (v["steady_state_s"] - base) / base, 1)
             for k, v in results.items() if k != "frozen"},
     }
     print(json.dumps(report, indent=1))
