@@ -215,6 +215,57 @@ def test_fit_hybrid_rotation_rotates_and_is_deterministic(tmp_path, monkeypatch)
         assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
 
 
+@pytest.mark.slow
+def test_hybrid_rotation_fault_rewind_matches_clean(tmp_path, monkeypatch):
+    """FaultFence rewind during a ROTATED hybrid fit: the refresh replays
+    purely from the epoch index (loop.rotation_plan + _sync_hybrid_rotation
+    diffing), so the re-run reproduces the clean run's metrics exactly even
+    though the device cache held a different epoch's partition when the
+    fault hit."""
+    from gan_tpu.train.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(5)
+    x, y = _domain(24, 0), _domain(20, 1)
+    vx, vy = (rng.integers(0, 255, (4, 32, 32, 1), np.uint8) for _ in range(2))
+    test = rng.integers(0, 255, (2, 32, 32, 1), np.uint8)
+    monkeypatch.setattr(loader, "device_cache_fits", lambda *a, **k: False)
+    row = -(-62 * 62 // 128) * 128
+    vrow = -(-32 * 32 // 128) * 128
+    monkeypatch.setenv("GAN_TPU_FLAT_CACHE_MAX",
+                       str(2 * 32 * vrow + 2 * 10 * row))
+
+    def run(out, fault_at=None):
+        cfg = _cfg(batch=8)
+        cfg.epochs = 4
+        cfg.checkpoint_every = 1
+        tr = CycleGANTrainer(cfg)
+        assert tr is not None
+        if fault_at is not None:
+            seen = {"n": 0}
+            orig = CycleGANTrainer._run_epoch_hybrid
+
+            def faulty(self, *a, **kw):
+                if kw.get("training"):
+                    i = seen["n"]
+                    seen["n"] += 1
+                    if i == fault_at:
+                        raise RuntimeError("injected fault mid-rotation")
+                return orig(self, *a, **kw)
+
+            monkeypatch.setattr(CycleGANTrainer, "_run_epoch_hybrid", faulty)
+        mgr = CheckpointManager(str(tmp_path / out / "ck"), max_to_keep=3)
+        tc, vc = tr.fit(x, y, vx, vy, test, str(tmp_path / out),
+                        checkpoint_manager=mgr)
+        if fault_at is not None:
+            monkeypatch.setattr(CycleGANTrainer, "_run_epoch_hybrid", orig)
+        assert tr._rot is not None  # the rotated path actually ran
+        return tc, vc
+
+    clean_t, clean_v = run("clean")
+    fault_t, fault_v = run("faulted", fault_at=2)  # rewind crosses partitions
+    assert fault_t == clean_t and fault_v == clean_v
+
+
 def test_hybrid_tail_orders_cover_each_row_once(monkeypatch):
     """The tail partition draws exactly the rows the resident prefix does
     not hold, each at most once (exactly once for the shorter domain) —
