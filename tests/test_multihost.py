@@ -173,10 +173,12 @@ def test_put_cache_process_local_chunked_layout(monkeypatch):
                                               by_dev[devs.index(s.device)])
 
 
-def test_epoch_on_chunked_process_local_cache(monkeypatch):
+@pytest.mark.parametrize("storage", ["tiled", "flat"])
+def test_epoch_on_chunked_process_local_cache(storage, monkeypatch):
     """A DP train epoch over a CHUNKED process-local pod cache matches the
-    plain unchunked cache's losses exactly — the SURVEY §5.8 pod data path
-    now runs at reference scale (VERDICT r4 weak #5)."""
+    plain unchunked cache's losses exactly, in both storage tiers — the
+    SURVEY §5.8 pod data path now runs at reference scale (the 512² corpus
+    pods in the FLAT tier; VERDICT r4 weak #5)."""
     import jax
     import numpy as np
     from gan_tpu.config import Pix2PixConfig
@@ -192,7 +194,7 @@ def test_epoch_on_chunked_process_local_cache(monkeypatch):
     key = jax.random.PRNGKey(5)
 
     t1 = Pix2PixTrainer(cfg, mesh=make_mesh(8, devices=jax.devices("cpu")))
-    dev1 = loop.put_cache(cache, t1.mesh)
+    dev1 = loop.put_cache(cache, t1.mesh, storage=storage)
     l1 = t1._run_epoch(dev1, cache, key, training=True, fixed_order=True,
                        rng=np.random.default_rng(0))
 
@@ -200,8 +202,12 @@ def test_epoch_on_chunked_process_local_cache(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda *a, **k: 2)
     t2 = Pix2PixTrainer(cfg, mesh=make_mesh(8, devices=jax.devices("cpu")))
     dev2 = loop.put_cache(cache[process_stripe_rows(16, t2.mesh)], t2.mesh,
-                          process_local=True)
-    assert isinstance(dev2, tuple) and len(dev2) > 1  # chunked
+                          process_local=True, storage=storage)
+    if storage == "tiled":
+        assert isinstance(dev2, tuple) and len(dev2) > 1  # chunked
+    else:
+        assert isinstance(dev2, loop.FlatCache) and \
+            isinstance(dev2.strips[0], tuple)             # chunked strips
     l2 = t2._run_epoch(dev2, cache, key, training=True, fixed_order=True,
                        rng=np.random.default_rng(0))
     np.testing.assert_allclose(l1, l2, rtol=1e-6, atol=1e-7)
