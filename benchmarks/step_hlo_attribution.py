@@ -10,9 +10,11 @@ ways:
 
 1. **Real per-fusion profile** of the fused scanned train step: a
    ``jax.profiler.trace`` around the exact jitted scan program, parsed from
-   the xplane proto (xprof is in the image) — top device ops by total time.
-   Degrades gracefully (recorded as unavailable) if the axon TPU plugin
-   emits no device plane.
+   the xplane proto — the axon backend emits full TPU op events (the
+   working proto module is ``tensorflow.tsl.profiler.protobuf.xplane_pb2``;
+   xprof/tensorboard_plugin_profile do not expose it in this image).
+   ``GAN_TPU_TRACE_DIR`` reuses an existing trace instead of re-tracing
+   (the trace phase pays the session's first-transfer warmup, 100–850 s).
 
 2. **Honest achievable bounds per hot conv**: the theoretical roofline
    (FLOPs / 197 TFLOP/s) is NOT achievable for a k4s2 conv — the honest

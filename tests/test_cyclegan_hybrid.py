@@ -239,7 +239,6 @@ def test_hybrid_rotation_fault_rewind_matches_clean(tmp_path, monkeypatch):
         cfg.epochs = 4
         cfg.checkpoint_every = 1
         tr = CycleGANTrainer(cfg)
-        assert tr is not None
         if fault_at is not None:
             seen = {"n": 0}
             orig = CycleGANTrainer._run_epoch_hybrid
