@@ -202,3 +202,43 @@ def test_iter_uint8_batches_rebatches_filecache(tmp_path):
     # matching batch size passes straight through
     got2 = list(iter_uint8_batches(fc, 3))
     assert [g.shape[0] for g in got2] == [3, 3, 3, 2]
+
+
+def test_val_stream_depth_caps():
+    """loader.val_stream_depth: enough depth to drain the whole val set
+    under the byte cap, never below the normal double-buffer."""
+    from gan_tpu.data.loader import val_stream_depth
+
+    # 10 batches of 1 MB each under a 256 MB default cap -> full drain
+    assert val_stream_depth(40, 4, 250_000) == 10
+    # byte cap binds: 4 MB cap, 1 MB batches -> 4 deep
+    import os
+    os.environ["GAN_TPU_VAL_PREFETCH_BYTES"] = "4000000"
+    try:
+        assert val_stream_depth(40, 4, 250_000) == 4
+        # floor: tiny cap still leaves the double-buffer
+        os.environ["GAN_TPU_VAL_PREFETCH_BYTES"] = "1"
+        assert val_stream_depth(40, 4, 250_000) == 2
+    finally:
+        del os.environ["GAN_TPU_VAL_PREFETCH_BYTES"]
+    # never more than the batch count
+    assert val_stream_depth(3, 4, 8) == 2  # 1 batch, floor 2
+
+
+def test_publish_result_survives_unparsable_stored_line():
+    """_bench_util.publish_result's dedup must not choke on a pre-encoded
+    non-JSON line already in the store (ADVICE r4 low)."""
+    from benchmarks import _bench_util as bu
+
+    saved = list(bu._RESULT_LINES)
+    try:
+        bu._RESULT_LINES[:] = []
+        bu.publish_result("not json at all")
+        bu.publish_result({"metric": "m", "value": 1})
+        bu.publish_result({"metric": "m", "value": 2})  # dedup replaces
+        lines = bu.result_lines()
+        assert "not json at all" in lines
+        assert sum('"metric": "m"' in l for l in lines) == 1
+        assert any('"value": 2' in l for l in lines)
+    finally:
+        bu._RESULT_LINES[:] = saved
